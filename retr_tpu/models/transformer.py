@@ -1,0 +1,376 @@
+"""ConcatTransformer: pre-norm encoder-decoder with context-stream concat fusion.
+
+Faithful re-design of the reference transformer (models/ConcatTransformer.py,
+models/transformer_modules.py) as pure functions in batch-first [B, S, C] layout:
+
+- optional context stream is concatenated to the target stream along the sequence axis
+  *before* positional encoding (ConcatTransformer.py:48-55);
+- 1-D sine positional encoding over the flattened sequence — NOT DETR's 2-D spatial
+  sine (ConcatTransformer.py:55, position_encoding.py:7-35);
+- residual blocks are ALWAYS pre-norm (transformer_modules.py:22-97);
+  ``pre_norm`` only gates the encoder's final LayerNorm (ConcatTransformer.py:24-26);
+  the decoder always has a final LayerNorm (ConcatTransformer.py:32-33);
+- self-attention adds positional encoding to Q and K only, value = normed input;
+  cross-attention norms ONLY the query — key gets pos but key/value are the *unnormed*
+  memory (transformer_modules.py:31-35, 57-63);
+- decoder query_pos is the learned position-embedding table itself
+  (ConcatTransformer.py:64-65);
+- residual LayerNorms use torch's default eps=1e-5; the DecoderEmbeddings LayerNorm
+  uses config.layer_norm_eps=1e-12 (transformer_modules.py:100-128).
+
+Besides the full teacher-forced forward, this module exposes the encode-once /
+step-decode split used by the KV-cached autoregressive loop in retr_tpu.decode —
+the reference re-runs backbone+encoder+full decoder every step
+(eval_utils/decode.py:53-81); here the encoder runs once, cross-attention K/V are
+precomputed per layer, and each step touches one position.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from retr_tpu.config import Config
+from retr_tpu.masking import NEG_INF, causal_mask, key_padding_bias
+from retr_tpu.models import layers
+from retr_tpu.models.positional import learned_init, positional_encoding
+from retr_tpu.precision import matmul_precision
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------------
+
+
+def _enc_layer_init(key, d, dff):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "self_attn": {"norm": layers.layer_norm_init(d), "mha": layers.mha_init(k1, d)},
+        "ff": {
+            "norm": layers.layer_norm_init(d),
+            "lin1": layers.xavier_linear_init(k2, d, dff),
+            "lin2": layers.xavier_linear_init(k3, dff, d),
+        },
+    }
+
+
+def _dec_layer_init(key, d, dff):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "self_attn": {"norm": layers.layer_norm_init(d), "mha": layers.mha_init(k1, d)},
+        "cross_attn": {"norm": layers.layer_norm_init(d), "mha": layers.mha_init(k2, d)},
+        "ff": {
+            "norm": layers.layer_norm_init(d),
+            "lin1": layers.xavier_linear_init(k3, d, dff),
+            "lin2": layers.xavier_linear_init(k4, dff, d),
+        },
+    }
+
+
+def init(key, cfg: Config) -> Params:
+    d, dff = cfg.hidden_dim, cfg.dim_feedforward
+    keys = jax.random.split(key, cfg.enc_layers + cfg.dec_layers + 3)
+    enc_keys, dec_keys = keys[: cfg.enc_layers], keys[cfg.enc_layers : cfg.enc_layers + cfg.dec_layers]
+    kw, kp, kl = keys[-3:]
+
+    params: Params = {
+        "encoder": {
+            "layers": [_enc_layer_init(k, d, dff) for k in enc_keys],
+        },
+        "decoder": {
+            "layers": [_dec_layer_init(k, d, dff) for k in dec_keys],
+            "norm": layers.layer_norm_init(d),
+        },
+        "embeddings": {
+            "word": layers.embedding_init(kw, cfg.vocab_size, d),
+            "pos": layers.embedding_init(kp, cfg.max_position_embeddings, d),
+            "norm": layers.layer_norm_init(d),
+        },
+    }
+    if cfg.pre_norm:
+        params["encoder"]["norm"] = layers.layer_norm_init(d)
+    if cfg.position_embedding in ("v3", "learned"):
+        params["src_pos"] = learned_init(kl, d, max_len=1024)
+    return params
+
+
+# ---------------------------------------------------------------------------------
+# Sub-blocks
+# ---------------------------------------------------------------------------------
+
+
+def _with_pos(x, pos):
+    return x if pos is None else x + pos
+
+
+def _self_att_block(p, x, pos, bias, cfg, *, need_weights, key, train):
+    """SelfAttResidual (transformer_modules.py:22-46)."""
+    nx = layers.layer_norm(p["norm"], x)
+    qk = _with_pos(nx, pos)
+    k_attn, k_res = (None, None) if key is None else jax.random.split(key)
+    out, w = layers.multi_head_attention(
+        p["mha"], qk, qk, nx,
+        num_heads=cfg.nheads, bias=bias, need_weights=need_weights,
+        dropout_rate=cfg.dropout, dropout_key=k_attn, train=train,
+    )
+    return x + layers.dropout(out, cfg.dropout, k_res, train), w
+
+
+def _cross_att_block(p, q, kv, q_pos, k_pos, bias, cfg, *, need_weights, key, train):
+    """CrossAttResidual (transformer_modules.py:49-74): only the query is normed."""
+    nq = layers.layer_norm(p["norm"], q)
+    k_attn, k_res = (None, None) if key is None else jax.random.split(key)
+    out, w = layers.multi_head_attention(
+        p["mha"], _with_pos(nq, q_pos), _with_pos(kv, k_pos), kv,
+        num_heads=cfg.nheads, bias=bias, need_weights=need_weights,
+        dropout_rate=cfg.dropout, dropout_key=k_attn, train=train,
+    )
+    return q + layers.dropout(out, cfg.dropout, k_res, train), w
+
+
+def _ff_block(p, x, cfg, *, key, train):
+    """FFResidual (transformer_modules.py:77-97): Linear-ReLU-Linear, pre-norm."""
+    nx = layers.layer_norm(p["norm"], x)
+    h = layers.linear(p["lin2"], jax.nn.relu(layers.linear(p["lin1"], nx)))
+    return x + layers.dropout(h, cfg.dropout, key, train)
+
+
+def decoder_embed(p, ids, cfg, *, key=None, train=False, position_offset=None):
+    """DecoderEmbeddings (transformer_modules.py:100-128): word + learned pos, LN(eps
+    = config.layer_norm_eps), dropout. ``position_offset`` selects positions for
+    incremental decoding ([B] or scalar start index)."""
+    word = layers.embedding(p["word"], ids)
+    if position_offset is None:
+        pos_ids = jnp.arange(ids.shape[-1])
+        pos = layers.embedding(p["pos"], pos_ids)
+    else:
+        pos = layers.embedding(p["pos"], position_offset)
+    emb = layers.layer_norm(p["norm"], word + pos, eps=cfg.layer_norm_eps)
+    return layers.dropout(emb, cfg.dropout, key, train)
+
+
+# ---------------------------------------------------------------------------------
+# Encoder / decoder stacks (full-sequence)
+# ---------------------------------------------------------------------------------
+
+
+def encode(
+    params: Params,
+    src: jax.Array,          # [B, S, C]
+    src_pad_mask: jax.Array,  # [B, S] bool True=pad
+    cfg: Config,
+    *,
+    need_weights: bool = False,
+    key: Optional[jax.Array] = None,
+    train: bool = False,
+):
+    """Run the encoder; returns (memory [B,S,C], pos [S,C], enc_atts or None)."""
+    s = src.shape[1]
+    pos = positional_encoding(
+        cfg.position_embedding, s, cfg.hidden_dim, params.get("src_pos"),
+        dropout_rate=cfg.dropout, key=None if key is None else jax.random.fold_in(key, 999),
+        train=train,
+    )
+    bias = key_padding_bias(src_pad_mask)
+
+    x = src
+    enc_ws = []
+    for li, lp in enumerate(params["encoder"]["layers"]):
+        lk = None if key is None else jax.random.fold_in(key, li)
+        k_sa, k_ff = (None, None) if lk is None else jax.random.split(lk)
+        x, w = _self_att_block(
+            lp["self_attn"], x, pos[None, :, :], bias, cfg,
+            need_weights=need_weights, key=k_sa, train=train,
+        )
+        if need_weights:
+            enc_ws.append(w)
+        x = _ff_block(lp["ff"], x, cfg, key=k_ff, train=train)
+    if "norm" in params["encoder"]:
+        x = layers.layer_norm(params["encoder"]["norm"], x)
+    atts = {"enc_tc_self_att": jnp.stack(enc_ws)} if need_weights else None
+    return x, pos, atts
+
+
+def decode_full(
+    params: Params,
+    memory: jax.Array,        # [B, S, C]
+    mem_pad_mask: jax.Array,  # [B, S]
+    pos: jax.Array,           # [S, C] source positional encoding
+    tgt_ids: jax.Array,       # [B, T] token ids
+    tgt_pad_mask: jax.Array,  # [B, T] bool True=pad
+    cfg: Config,
+    *,
+    need_weights: bool = False,
+    key: Optional[jax.Array] = None,
+    train: bool = False,
+):
+    """Teacher-forced decoder over the full target buffer; returns [B, T, C]."""
+    t = tgt_ids.shape[1]
+    k_emb = None if key is None else jax.random.fold_in(key, 777)
+    x = decoder_embed(params["embeddings"], tgt_ids, cfg, key=k_emb, train=train)
+    query_pos = params["embeddings"]["pos"]["table"][:t][None, :, :]  # [1, T, C]
+
+    self_bias = causal_mask(t)[None, None, :, :] + key_padding_bias(tgt_pad_mask)
+    mem_bias = key_padding_bias(mem_pad_mask)
+
+    dec_sws, dec_cws = [], []
+    for li, lp in enumerate(params["decoder"]["layers"]):
+        lk = None if key is None else jax.random.fold_in(key, 100 + li)
+        k_sa, k_ca, k_ff = (None, None, None) if lk is None else jax.random.split(lk, 3)
+        x, sw = _self_att_block(
+            lp["self_attn"], x, query_pos, self_bias, cfg,
+            need_weights=need_weights, key=k_sa, train=train,
+        )
+        x, cw = _cross_att_block(
+            lp["cross_attn"], x, memory, query_pos, pos[None, :, :], mem_bias, cfg,
+            need_weights=need_weights, key=k_ca, train=train,
+        )
+        x = _ff_block(lp["ff"], x, cfg, key=k_ff, train=train)
+        if need_weights:
+            dec_sws.append(sw)
+            dec_cws.append(cw)
+    x = layers.layer_norm(params["decoder"]["norm"], x)
+    atts = (
+        {"dec_exp_self_att": jnp.stack(dec_sws), "dec_exp_tc_cross_att": jnp.stack(dec_cws)}
+        if need_weights
+        else None
+    )
+    return x, atts
+
+
+def forward(
+    params: Params,
+    src_t: jax.Array,         # [B, C, S_t] target-stream features (channel-first like the reference)
+    mask_t: jax.Array,        # [B, S_t]
+    src_c: Optional[jax.Array],
+    mask_c: Optional[jax.Array],
+    tgt_ids: jax.Array,
+    tgt_pad_mask: jax.Array,
+    cfg: Config,
+    *,
+    return_attention: bool = False,
+    key: Optional[jax.Array] = None,
+    train: bool = False,
+):
+    """Reference ConcatTransformer.forward (ConcatTransformer.py:45-74)."""
+    if src_c is not None:
+        src = jnp.concatenate([src_t, src_c], axis=2)
+        mask = jnp.concatenate([mask_t, mask_c], axis=1)
+    else:
+        src, mask = src_t, mask_t
+
+    src = jnp.swapaxes(src, 1, 2)  # [B, S, C]
+    with matmul_precision(src.dtype):
+        k_enc = None if key is None else jax.random.fold_in(key, 0)
+        k_dec = None if key is None else jax.random.fold_in(key, 1)
+        memory, pos, enc_atts = encode(
+            params, src, mask, cfg, need_weights=return_attention, key=k_enc, train=train
+        )
+        out, dec_atts = decode_full(
+            params, memory, mask, pos, tgt_ids, tgt_pad_mask, cfg,
+            need_weights=return_attention, key=k_dec, train=train,
+        )
+    if return_attention:
+        return out, {**(enc_atts or {}), **(dec_atts or {})}
+    return out, None
+
+
+# ---------------------------------------------------------------------------------
+# Incremental (KV-cached) decoding — encode once, one position per step.
+# ---------------------------------------------------------------------------------
+
+
+class DecodeState(NamedTuple):
+    """Per-layer KV caches, [L, B, H, T_max, D]; cross K/V precomputed once."""
+
+    self_k: jax.Array
+    self_v: jax.Array
+    cross_k: jax.Array
+    cross_v: jax.Array
+    mem_bias: jax.Array  # [B, 1, 1, S]
+
+
+def init_decode_state(
+    params: Params,
+    memory: jax.Array,
+    mem_pad_mask: jax.Array,
+    pos: jax.Array,
+    cfg: Config,
+    max_len: int,
+) -> DecodeState:
+    """Precompute cross-attention K/V per decoder layer (memory is fixed), allocate
+    empty self-attention caches with static shape [L, B, H, max_len, D]."""
+    b = memory.shape[0]
+    h, dh = cfg.nheads, cfg.head_dim
+    kp = _with_pos(memory, pos[None, :, :])
+
+    cross_k, cross_v = [], []
+    for lp in params["decoder"]["layers"]:
+        mha = lp["cross_attn"]["mha"]
+        cross_k.append(layers.split_heads(layers.linear(mha["k"], kp), h))
+        cross_v.append(layers.split_heads(layers.linear(mha["v"], memory), h))
+
+    dtype = memory.dtype
+    return DecodeState(
+        self_k=jnp.zeros((cfg.dec_layers, b, h, max_len, dh), dtype),
+        self_v=jnp.zeros((cfg.dec_layers, b, h, max_len, dh), dtype),
+        cross_k=jnp.stack(cross_k),
+        cross_v=jnp.stack(cross_v),
+        mem_bias=key_padding_bias(mem_pad_mask),
+    )
+
+
+def decode_step(
+    params: Params,
+    state: DecodeState,
+    token_ids: jax.Array,  # [B] token at position `step`
+    step: jax.Array,       # scalar int32 — current position
+    cfg: Config,
+) -> Tuple[jax.Array, DecodeState]:
+    """One autoregressive step: embed position `step`, run all decoder layers against
+    the KV caches, return the hidden state [B, C] for that position.
+
+    Numerically equivalent to the reference's full-buffer recompute at position
+    `step` (dropout off): padded positions beyond `step` are excluded here by the
+    causal/key-padding bias exactly as tgt_key_padding_mask excludes them there.
+    """
+    max_len = state.self_k.shape[3]
+    x = decoder_embed(params["embeddings"], token_ids[:, None], cfg, position_offset=step[None])
+    # x: [B, 1, C]
+    qpos = params["embeddings"]["pos"]["table"][step][None, None, :]  # [1, 1, C]
+
+    # keys at positions > step are masked (their cache rows are zeros anyway).
+    valid = jnp.arange(max_len)[None, None, None, :] <= step
+    self_bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)  # [1,1,1,T]
+
+    h = cfg.nheads
+    self_k, self_v = state.self_k, state.self_v
+    for li, lp in enumerate(params["decoder"]["layers"]):
+        # -- self-attention over the cache
+        sp = lp["self_attn"]
+        nx = layers.layer_norm(sp["norm"], x)
+        qk_in = _with_pos(nx, qpos)
+        q = layers.split_heads(layers.linear(sp["mha"]["q"], qk_in), h)    # [B,H,1,D]
+        k_new = layers.split_heads(layers.linear(sp["mha"]["k"], qk_in), h)
+        v_new = layers.split_heads(layers.linear(sp["mha"]["v"], nx), h)
+        self_k = self_k.at[li, :, :, step, :].set(k_new[:, :, 0, :])
+        self_v = self_v.at[li, :, :, step, :].set(v_new[:, :, 0, :])
+        out, _ = layers.attention_core(q, self_k[li], self_v[li], self_bias)
+        x = x + layers.linear(sp["mha"]["out"], layers.merge_heads(out))
+
+        # -- cross-attention against precomputed memory K/V
+        cp = lp["cross_attn"]
+        nq = layers.layer_norm(cp["norm"], x)
+        qc = layers.split_heads(layers.linear(cp["mha"]["q"], _with_pos(nq, qpos)), h)
+        outc, _ = layers.attention_core(qc, state.cross_k[li], state.cross_v[li], state.mem_bias)
+        x = x + layers.linear(cp["mha"]["out"], layers.merge_heads(outc))
+
+        # -- feed-forward
+        x = _ff_block(lp["ff"], x, cfg, key=None, train=False)
+
+    x = layers.layer_norm(params["decoder"]["norm"], x)
+    return x[:, 0, :], state._replace(self_k=self_k, self_v=self_v)
