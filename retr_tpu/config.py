@@ -15,8 +15,10 @@ from os.path import join
 from typing import Any
 
 
-@dataclass
+@dataclass(frozen=True)
 class Config:
+    """Frozen (hashable) so a Config can be a jit static argument."""
+
     # Dataset identity ("refcoco" | "refcoco+" | "refcocog").
     prefix: str = "refcoco"
 
@@ -94,9 +96,11 @@ class Config:
 
     def __post_init__(self) -> None:
         if not self.ref_dir:
-            self.ref_dir = join(self.ref_base, self.prefix)
+            object.__setattr__(self, "ref_dir", join(self.ref_base, self.prefix))
         if not self.checkpoint_path:
-            self.checkpoint_path = join(self.project_data_path, "models", self.prefix)
+            object.__setattr__(
+                self, "checkpoint_path", join(self.project_data_path, "models", self.prefix)
+            )
         if self.backbone not in ("ResNet18", "ResNet34", "ResNet50", "ResNet101"):
             raise ValueError(f"unsupported backbone {self.backbone!r}")
         if self.position_embedding not in ("v2", "sine", "v3", "learned"):

@@ -1,0 +1,299 @@
+"""Autoregressive decoding: jit-compiled, KV-cached, static shapes.
+
+Replaces eval_utils/decode.py. The reference's batched greedy re-runs the ENTIRE model
+(backbone + encoder + full 128-position decoder) once per emitted token
+(decode.py:53-81 — its #1 performance defect). Here:
+
+- the backbone + encoder run ONCE (`caption.encode`);
+- cross-attention K/V are precomputed per layer;
+- a `lax.while_loop` emits one token per step against self-attention KV caches,
+  stopping early when every sample has produced EOS — the same early exit as the
+  reference (decode.py:75-76);
+- token semantics match the reference exactly: BOS in slot 0, logits read at position
+  i, argmax written to slot i+1, EOS-finished samples keep receiving (ignored) tokens,
+  and the final write is skipped when everyone is finished, so the buffer — including
+  post-EOS junk — is bit-identical to the reference's (decode.py:53-81);
+- `prune_token_ids` reproduces decode.py:84-101 (cut at EOS, strip specials).
+
+Beam search (k, length-normalized) is a north-star extension — the reference has no
+beam search (BASELINE.md config 3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from retr_tpu.config import Config
+from retr_tpu.masking import Masked
+from retr_tpu.models import caption, transformer
+from retr_tpu.precision import matmul_precision
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------------
+# Greedy
+# ---------------------------------------------------------------------------------
+
+
+class _GreedyCarry(NamedTuple):
+    captions: jax.Array   # [B, L] int32 token buffer
+    finished: jax.Array   # [B] bool
+    state: transformer.DecodeState
+    step: jax.Array       # scalar int32
+
+
+def greedy_from_memory(
+    params: Params,
+    cfg: Config,
+    memory: jax.Array,
+    mem_mask: jax.Array,
+    pos: jax.Array,
+    *,
+    max_len: int,
+    bos_token: int,
+    eos_token: int,
+) -> jax.Array:
+    """Greedy decode given encoder output; returns the [B, max_len] token buffer with
+    the reference's exact write/stop semantics."""
+    b = memory.shape[0]
+    state = transformer.init_decode_state(params["transformer"], memory, mem_mask, pos, cfg, max_len)
+    captions = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(bos_token)
+
+    def cond(c: _GreedyCarry):
+        return jnp.logical_and(c.step < max_len - 1, ~jnp.all(c.finished))
+
+    def body(c: _GreedyCarry):
+        hs, state = transformer.decode_step(
+            params["transformer"], c.state, c.captions[:, c.step], c.step, cfg
+        )
+        logits = caption.mlp_head(params["mlp"], hs)            # [B, V]
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # [B]
+        finished = jnp.logical_or(pred == eos_token, c.finished)
+        # reference decode.py:75-79 — when all just finished, the write is skipped.
+        write = ~jnp.all(finished)
+        captions = jnp.where(
+            write, c.captions.at[:, c.step + 1].set(pred), c.captions
+        )
+        return _GreedyCarry(captions, finished, state, c.step + 1)
+
+    init = _GreedyCarry(captions, jnp.zeros((b,), bool), state, jnp.int32(0))
+    with matmul_precision(memory.dtype):
+        out = jax.lax.while_loop(cond, body, init)
+    return out.captions
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "bos_token", "eos_token", "compute_dtype"))
+def greedy(
+    params: Params,
+    cfg: Config,
+    samples: Masked,
+    *,
+    global_samples: Optional[Masked] = None,
+    loc_feats: Optional[jax.Array] = None,
+    max_len: int = 128,
+    bos_token: int = 101,
+    eos_token: int = 102,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Batched greedy decoding (reference decode.py:53-81): encode once, then the
+    KV-cached loop. Fully jit-compiled with static shapes."""
+    memory, mem_mask, pos = caption.encode(
+        params, cfg, samples, global_samples=global_samples, loc_feats=loc_feats,
+        compute_dtype=compute_dtype,
+    )
+    return greedy_from_memory(
+        params, cfg, memory, mem_mask, pos,
+        max_len=max_len, bos_token=bos_token, eos_token=eos_token,
+    )
+
+
+# ---------------------------------------------------------------------------------
+# Beam search (north-star extension; not in the reference)
+# ---------------------------------------------------------------------------------
+
+
+class _BeamCarry(NamedTuple):
+    tokens: jax.Array       # [B, K, L]
+    scores: jax.Array       # [B, K] cumulative log-prob
+    finished: jax.Array     # [B, K] bool
+    state: transformer.DecodeState  # caches with leading dim B*K
+    step: jax.Array
+
+
+def _gather_beams(tree, idx: jax.Array, b: int, k: int):
+    """Reorder the batch*beam leading axis of each cache by per-batch beam index [B, K]."""
+
+    def g(x):
+        xk = x.reshape((b, k) + x.shape[1:]) if x.shape[0] == b * k else None
+        if xk is None:
+            return x
+        out = jnp.take_along_axis(
+            xk, idx.reshape((b, k) + (1,) * (xk.ndim - 2)), axis=1
+        )
+        return out.reshape((b * k,) + x.shape[1:])
+
+    return jax.tree.map(g, tree)
+
+
+def beam_search_from_memory(
+    params: Params,
+    cfg: Config,
+    memory: jax.Array,
+    mem_mask: jax.Array,
+    pos: jax.Array,
+    *,
+    max_len: int,
+    bos_token: int,
+    eos_token: int,
+    beam_size: int,
+    length_penalty: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Standard beam search with length normalization score/len**alpha.
+
+    Returns (tokens [B, K, L] sorted best-first, normalized scores [B, K]).
+    Finished beams are frozen (forced to re-emit EOS with zero added score).
+    """
+    b, s, c = memory.shape
+    k = beam_size
+    neg_inf = jnp.float32(-1e9)
+
+    # tile memory across beams: [B*K, S, C]
+    mem_t = jnp.repeat(memory, k, axis=0)
+    mask_t = jnp.repeat(mem_mask, k, axis=0)
+    state = transformer.init_decode_state(params["transformer"], mem_t, mask_t, pos, cfg, max_len)
+
+    tokens = jnp.zeros((b, k, max_len), jnp.int32).at[:, :, 0].set(bos_token)
+    scores = jnp.where(jnp.arange(k)[None, :] == 0, 0.0, neg_inf) * jnp.ones((b, 1))
+    finished = jnp.zeros((b, k), bool)
+
+    vocab = cfg.vocab_size
+
+    def cond(cst: _BeamCarry):
+        return jnp.logical_and(cst.step < max_len - 1, ~jnp.all(cst.finished))
+
+    def body(cst: _BeamCarry):
+        cur = cst.tokens[:, :, cst.step].reshape(b * k)
+        hs, state = transformer.decode_step(params["transformer"], cst.state, cur, cst.step, cfg)
+        logits = caption.mlp_head(params["mlp"], hs).astype(jnp.float32)  # [B*K, V]
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, vocab)
+
+        # finished beams: only EOS continuation, with no score change.
+        eos_onehot = jnp.where(jnp.arange(vocab)[None, None, :] == eos_token, 0.0, neg_inf)
+        logp = jnp.where(cst.finished[:, :, None], eos_onehot, logp)
+
+        cand = cst.scores[:, :, None] + logp                 # [B, K, V]
+        flat = cand.reshape(b, k * vocab)
+        top_scores, top_idx = jax.lax.top_k(flat, k)         # [B, K]
+        beam_idx = top_idx // vocab
+        tok_idx = (top_idx % vocab).astype(jnp.int32)
+
+        tokens = jnp.take_along_axis(cst.tokens, beam_idx[:, :, None], axis=1)
+        tokens = tokens.at[:, :, cst.step + 1].set(tok_idx)
+        finished = jnp.take_along_axis(cst.finished, beam_idx, axis=1)
+        finished = jnp.logical_or(finished, tok_idx == eos_token)
+        state = _gather_beams(state, beam_idx, b, k)
+        return _BeamCarry(tokens, top_scores, finished, state, cst.step + 1)
+
+    init = _BeamCarry(tokens, scores, finished, state, jnp.int32(0))
+    with matmul_precision(memory.dtype):
+        out = jax.lax.while_loop(cond, body, init)
+
+    # length-normalized final ranking: length counts tokens after BOS up to & incl EOS.
+    is_eos = out.tokens == eos_token
+    has_eos = jnp.any(is_eos, axis=-1)
+    eos_pos = jnp.argmax(is_eos, axis=-1)
+    length = jnp.where(has_eos, eos_pos, max_len - 1).astype(jnp.float32)
+    norm = out.scores / jnp.maximum(length, 1.0) ** length_penalty
+    order = jnp.argsort(-norm, axis=-1)
+    tokens = jnp.take_along_axis(out.tokens, order[:, :, None], axis=1)
+    norm = jnp.take_along_axis(norm, order, axis=1)
+    return tokens, norm
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_len", "bos_token", "eos_token", "beam_size", "compute_dtype"),
+)
+def beam_search(
+    params: Params,
+    cfg: Config,
+    samples: Masked,
+    *,
+    global_samples: Optional[Masked] = None,
+    loc_feats: Optional[jax.Array] = None,
+    max_len: int = 128,
+    bos_token: int = 101,
+    eos_token: int = 102,
+    beam_size: int = 5,
+    length_penalty: float = 1.0,
+    compute_dtype=jnp.float32,
+):
+    memory, mem_mask, pos = caption.encode(
+        params, cfg, samples, global_samples=global_samples, loc_feats=loc_feats,
+        compute_dtype=compute_dtype,
+    )
+    return beam_search_from_memory(
+        params, cfg, memory, mem_mask, pos,
+        max_len=max_len, bos_token=bos_token, eos_token=eos_token,
+        beam_size=beam_size, length_penalty=length_penalty,
+    )
+
+
+# ---------------------------------------------------------------------------------
+# Post-processing (host-side)
+# ---------------------------------------------------------------------------------
+
+
+def prune_token_ids(
+    idx_seqs: Sequence[Sequence[int]],
+    clean: bool = True,
+    pad_token: int = 0,
+    bos_token: int = 101,
+    eos_token: int = 102,
+) -> List[List[int]]:
+    """Cut each sequence at its first EOS; optionally strip PAD/BOS/EOS
+    (reference decode.py:84-101)."""
+    results = []
+    for seq in idx_seqs:
+        pruned = []
+        for idx in seq:
+            pruned.append(int(idx))
+            if idx == eos_token:
+                break
+        if clean:
+            pruned = [i for i in pruned if i not in (pad_token, bos_token, eos_token)]
+        results.append(pruned)
+    return results
+
+
+def greedy_decoding(
+    samples: Masked,
+    params: Params,
+    cfg: Config,
+    tokenizer,
+    *,
+    global_samples: Optional[Masked] = None,
+    loc_feats: Optional[jax.Array] = None,
+    max_len: int = 128,
+    clean: bool = True,
+    pad_token: int = 0,
+    bos_token: int = 101,
+    eos_token: int = 102,
+    compute_dtype=jnp.float32,
+) -> List[str]:
+    """Reference greedy_decoding (decode.py:112-128): decode, prune, detokenize."""
+    ids = greedy(
+        params, cfg, samples, global_samples=global_samples, loc_feats=loc_feats,
+        max_len=max_len, bos_token=bos_token, eos_token=eos_token,
+        compute_dtype=compute_dtype,
+    )
+    pruned = prune_token_ids(
+        jax.device_get(ids).tolist(), clean=clean,
+        pad_token=pad_token, bos_token=bos_token, eos_token=eos_token,
+    )
+    return [tokenizer.decode(seq, skip_special_tokens=True) for seq in pruned]

@@ -18,14 +18,22 @@ from retr_tpu.models import layers
 
 def sine_table(d_model: int, max_len: int = 1024, dtype=jnp.float32) -> jax.Array:
     """[max_len, d_model] table; pe[p, 2i] = sin(p·w_i), pe[p, 2i+1] = cos(p·w_i)
-    with w_i = exp(-2i·ln(10000)/d) (position_encoding.py:16-21)."""
-    pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]
-    div = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-math.log(10000.0) / d_model))
+    with w_i = exp(-2i·ln(10000)/d) (position_encoding.py:16-21).
+
+    Built on the host in float64 then cast: angles reach ~10³ rad where fp32
+    sin/cos argument-reduction error across math libraries is ~1e-4 — enough to
+    threaten greedy-token parity. f64-then-cast is within 1-2 ulp of the torch
+    reference's own f32 computation.
+    """
+    import numpy as np
+
+    pos = np.arange(max_len, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * (-math.log(10000.0) / d_model))
     angles = pos * div[None, :]
-    pe = jnp.zeros((max_len, d_model), jnp.float32)
-    pe = pe.at[:, 0::2].set(jnp.sin(angles))
-    pe = pe.at[:, 1::2].set(jnp.cos(angles))
-    return pe.astype(dtype)
+    pe = np.zeros((max_len, d_model), np.float64)
+    pe[:, 0::2] = np.sin(angles)
+    pe[:, 1::2] = np.cos(angles)
+    return jnp.asarray(pe, dtype=dtype)
 
 
 def learned_init(key, d_model: int, max_len: int = 1024) -> dict:

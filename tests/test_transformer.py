@@ -28,7 +28,7 @@ def tiny_cfg(**kw):
 def test_sine_table_matches_torch():
     ref = torch_oracle.sine_table(64, 100).numpy()
     got = np.asarray(sine_table(64, 100))
-    np.testing.assert_allclose(got, ref, atol=1e-6)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
 def test_causal_mask_matches_torch():
