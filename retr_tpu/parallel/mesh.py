@@ -1,0 +1,137 @@
+"""Device mesh + sharding rules.
+
+The reference has no working distributed path (vestigial DETR rank helpers only,
+models/utils.py:136-151; no process-group init anywhere — SURVEY.md §2.2). Here
+multi-chip execution is first-class and TPU-native: a ``(dp, mp)``
+``jax.sharding.Mesh``, batch sharded over ``dp`` (data parallel over ICI), and an
+optional tensor-parallel ``mp`` axis sharding the widest matmuls — attention heads,
+the FFN inner dimension, and the 30k-vocab MLP head — with XLA's SPMD partitioner
+inserting the psum/all-gather collectives.
+
+At this model scale (256-dim trunk), dp is what the north-star benchmark uses
+(v5e-4 eval sweep = BASELINE.md config 5); mp exists to prove out and test the
+tensor-parallel path end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, mp: int = 1, devices=None) -> Mesh:
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if dp is None:
+        dp = n // mp
+    if dp * mp != n:
+        raise ValueError(f"dp({dp}) * mp({mp}) != device count ({n})")
+    return Mesh(np.asarray(devices).reshape(dp, mp), ("dp", "mp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Leading (batch) axis sharded over dp, the rest replicated."""
+    return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+
+
+def batch_shard_tree(mesh: Mesh, tree: Any) -> Any:
+    """Sharding tree matching `tree` with every leaf's leading axis on dp."""
+    return jax.tree.map(lambda x: batch_sharding(mesh, np.ndim(x)), tree)
+
+
+# -- tensor-parallel rules ----------------------------------------------------------
+
+
+def _mha_spec():
+    # q/k/v project E -> E(heads): shard output (head) dim; out-proj contracts the
+    # sharded dim -> psum, output replicated.
+    return {
+        "q": {"w": P(None, "mp"), "b": P("mp")},
+        "k": {"w": P(None, "mp"), "b": P("mp")},
+        "v": {"w": P(None, "mp"), "b": P("mp")},
+        "out": {"w": P("mp", None), "b": P()},
+    }
+
+
+def _att_block_spec():
+    return {"norm": {"scale": P(), "bias": P()}, "mha": _mha_spec()}
+
+
+def _ff_spec():
+    # lin1 expands d -> dff (shard dff); lin2 contracts dff -> d (psum).
+    return {
+        "norm": {"scale": P(), "bias": P()},
+        "lin1": {"w": P(None, "mp"), "b": P("mp")},
+        "lin2": {"w": P("mp", None), "b": P()},
+    }
+
+
+def transformer_specs(params: dict) -> dict:
+    spec: dict = {
+        "encoder": {
+            "layers": [
+                {"self_attn": _att_block_spec(), "ff": _ff_spec()}
+                for _ in params["encoder"]["layers"]
+            ]
+        },
+        "decoder": {
+            "layers": [
+                {
+                    "self_attn": _att_block_spec(),
+                    "cross_attn": _att_block_spec(),
+                    "ff": _ff_spec(),
+                }
+                for _ in params["decoder"]["layers"]
+            ],
+            "norm": {"scale": P(), "bias": P()},
+        },
+        "embeddings": {
+            "word": {"table": P()},
+            "pos": {"table": P()},
+            "norm": {"scale": P(), "bias": P()},
+        },
+    }
+    if "norm" in params["encoder"]:
+        spec["encoder"]["norm"] = {"scale": P(), "bias": P()}
+    if "src_pos" in params:
+        spec["src_pos"] = {"table": P(), "norm": {"scale": P(), "bias": P()}}
+    return spec
+
+
+def param_specs(params: dict) -> dict:
+    """PartitionSpec tree for the full caption model: backbone replicated (it is
+    <60MB and conv-bound), transformer mp-sharded, vocab head column-sharded."""
+    spec: dict = {
+        "backbone": jax.tree.map(lambda _: P(), params["backbone"]),
+        "input_proj": {"w": P(), "b": P()},
+        "transformer": transformer_specs(params["transformer"]),
+        "mlp": {
+            "layers": [
+                {"w": P(), "b": P()},
+                {"w": P(), "b": P()},
+                # the 512 -> 30522 head: shard the vocab dim
+                {"w": P(None, "mp"), "b": P("mp")},
+            ]
+        },
+    }
+    if "loc_proj" in params:
+        spec["loc_proj"] = {"w": P(), "b": P()}
+    return spec
+
+
+def param_shardings(params: dict, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s), param_specs(params),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    return jax.device_put(params, param_shardings(params, mesh))

@@ -1,0 +1,187 @@
+"""Train state and the jit/pjit training step.
+
+Optimization recipe = the reference's (main.py:30-40, engine.py:52-87):
+
+- AdamW, two learning rates: backbone params at ``lr_backbone`` (1e-5), everything
+  else at ``lr`` (1e-4); weight decay 1e-4 on both groups (torch AdamW semantics —
+  decoupled, lr-scaled; optax.adamw matches).
+- frozen subsets exactly as the reference freezes them: the whole backbone below
+  layer2 (conv1 + layer1; backbone.py:58-60) and every FrozenBatchNorm scale/bias
+  (buffers in torch, hence never trained).
+- StepLR: lr x0.1 every ``lr_drop`` epochs (main.py:40).
+- global-norm gradient clip at ``clip_max_norm`` = 0.1 (engine.py:81-82).
+- the PAD row of the word-embedding table gets zero gradient
+  (torch nn.Embedding(padding_idx=...) semantics, transformer_modules.py:103).
+- loss = softmax cross-entropy over shifted tokens, **mean over ALL positions
+  including PAD** (caption.py:210 has no ignore_index; engine.py:70-71).
+
+The training step is one jit-compiled function; under a ``(dp, mp)`` mesh the batch
+is dp-sharded and gradients are reduced by XLA collectives — no hand-written NCCL
+(reference has none either; SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from retr_tpu.config import Config
+from retr_tpu.masking import Masked
+from retr_tpu.models import caption
+
+Params = Dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: jax.Array
+
+
+# ---------------------------------------------------------------------------------
+# Parameter partition (frozen / backbone / rest)
+# ---------------------------------------------------------------------------------
+
+
+def _label_path(path) -> str:
+    keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+    if keys and keys[0] == "backbone":
+        # conv1/bn1/layer1 frozen (backbone.py:58-60); all folded BN affines are
+        # torch buffers, never trainable.
+        if keys[1] in ("conv1", "bn1", "layer1"):
+            return "frozen"
+        if "bn1" in keys or "bn2" in keys or "bn3" in keys or "bn" in keys:
+            return "frozen"
+        return "backbone"
+    return "rest"
+
+
+def param_labels(params: Params) -> Params:
+    return jax.tree_util.tree_map_with_path(lambda path, _: _label_path(path), params)
+
+
+def _zero_pad_row_grad(pad_token_id: int) -> optax.GradientTransformation:
+    """Zero the gradient of the word-embedding PAD row (padding_idx semantics)."""
+
+    def update(updates, state, params=None):
+        def fix(u):
+            return u.at[pad_token_id].set(0.0)
+
+        emb = updates["transformer"]["embeddings"]["word"]
+        emb = dict(emb, table=fix(emb["table"]))
+        updates = dict(updates)
+        updates["transformer"] = dict(updates["transformer"])
+        updates["transformer"]["embeddings"] = dict(
+            updates["transformer"]["embeddings"], word=emb
+        )
+        return updates, state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
+
+
+def step_lr(base_lr: float, lr_drop_epochs: int, steps_per_epoch: int, gamma: float = 0.1):
+    """torch StepLR(step_size=lr_drop, gamma=0.1) as a per-step schedule."""
+
+    def schedule(count):
+        epoch = count // max(steps_per_epoch, 1)
+        return base_lr * gamma ** (epoch // lr_drop_epochs)
+
+    return schedule
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    main_sched = step_lr(cfg.lr, cfg.lr_drop, steps_per_epoch)
+    backbone_sched = step_lr(cfg.lr_backbone, cfg.lr_drop, steps_per_epoch)
+
+    def adamw(sched):
+        return optax.adamw(
+            learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=cfg.weight_decay
+        )
+
+    tx = optax.multi_transform(
+        {"rest": adamw(main_sched), "backbone": adamw(backbone_sched), "frozen": optax.set_to_zero()},
+        param_labels,
+    )
+    chain = [_zero_pad_row_grad(cfg.pad_token_id)]
+    if cfg.clip_max_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.clip_max_norm))
+    chain.append(tx)
+    return optax.chain(*chain)
+
+
+def create_train_state(cfg: Config, key=None, steps_per_epoch: int = 1000, params=None) -> Tuple[TrainState, optax.GradientTransformation]:
+    if params is None:
+        params, _ = caption.build_model(cfg, key)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    opt_state = tx.init(params)
+    return TrainState(params, opt_state, jnp.int32(0)), tx
+
+
+# ---------------------------------------------------------------------------------
+# Batch container + the step
+# ---------------------------------------------------------------------------------
+
+
+class Batch(NamedTuple):
+    """One training batch. caps are the 129-wide padded token buffers; the step
+    slices input caps[:, :-1] vs target caps[:, 1:] (engine.py:70-71)."""
+
+    images: jax.Array        # [B, 3, H, W] f32 normalized
+    image_masks: jax.Array   # [B, H, W] bool
+    caps: jax.Array          # [B, T+1] int32
+    cap_masks: jax.Array     # [B, T+1] bool (True = pad)
+    global_images: Optional[jax.Array] = None
+    global_masks: Optional[jax.Array] = None
+    loc_feats: Optional[jax.Array] = None
+
+
+def loss_fn(params: Params, cfg: Config, batch: Batch, key, *, train: bool, compute_dtype=jnp.float32):
+    logits = caption.forward(
+        params, cfg,
+        Masked(batch.images, batch.image_masks),
+        batch.caps[:, :-1], batch.cap_masks[:, :-1],
+        global_samples=(
+            Masked(batch.global_images, batch.global_masks)
+            if batch.global_images is not None
+            else None
+        ),
+        loc_feats=batch.loc_feats,
+        key=key, train=train, compute_dtype=compute_dtype,
+    )
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, batch.caps[:, 1:][..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def make_train_step(
+    cfg: Config,
+    tx: optax.GradientTransformation,
+    *,
+    compute_dtype=jnp.float32,
+    donate: bool = True,
+) -> Callable:
+    """Build the jit-compiled training step: grads -> clip -> AdamW -> apply."""
+
+    def step(state: TrainState, batch: Batch, key) -> Tuple[TrainState, jax.Array]:
+        step_key = jax.random.fold_in(key, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, cfg, batch, step_key, train=True, compute_dtype=compute_dtype
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: Config, *, compute_dtype=jnp.float32) -> Callable:
+    """Validation loss (no grad, no dropout) — engine.evaluate (engine.py:89-114)."""
+
+    def step(params: Params, batch: Batch) -> jax.Array:
+        return loss_fn(params, cfg, batch, None, train=False, compute_dtype=compute_dtype)
+
+    return jax.jit(step)
