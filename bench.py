@@ -1,0 +1,146 @@
+"""Headline benchmark: referring expressions/sec/chip, batched greedy decode.
+
+Measures BASELINE.md config 2 (batch-32 greedy over RefCOCO-val-shaped inputs with
+static padding) on the real TPU chip, against the measured PyTorch CPU reference
+denominator (BASELINE.md: "baseline numbers must be measured, not quoted").
+
+Both sides decode the full 127 steps (EOS set unreachable) so the comparison is
+step-for-step fair:
+- reference cost model: one FULL model forward (backbone + encoder + 128-position
+  decoder) per emitted token — exactly eval_utils/decode.py:53-81 — measured with the
+  torch oracle on CPU and multiplied by 127 steps;
+- retr_tpu: encode once + 127 KV-cached jit decode steps on one chip.
+
+The torch denominator is cached in BASELINE_MEASURED.json (first run measures it).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+BATCH = 32
+MAX_LEN = 128          # config.max_position_embeddings — engine.py:161 decodes at 128
+DECODE_STEPS = MAX_LEN - 1
+IMAGE = 224
+BACKBONE = "ResNet50"  # BASELINE.md config 1 model
+
+
+def flagship_cfg():
+    from retr_tpu.config import Config
+
+    return Config(backbone=BACKBONE, dilation=True, dropout=0.1)
+
+
+def measure_torch_baseline() -> float:
+    """Reference captions/sec on CPU: BATCH / (DECODE_STEPS * t_full_forward)."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            d = json.load(f)
+        if d.get("batch") == BATCH and d.get("steps") == DECODE_STEPS:
+            return d["captions_per_sec"]
+
+    import torch
+
+    sys.path.insert(0, REPO)
+    from tests.torch_oracle import CaptionModel
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        model = CaptionModel(
+            backbone_name=BACKBONE, dilation=True, vocab=30522, d=256, h=8,
+            nenc=6, ndec=6, dff=2048, max_pos=MAX_LEN,
+        ).eval()
+        img = torch.randn(BATCH, 3, IMAGE, IMAGE)
+        mask = torch.zeros(BATCH, IMAGE, IMAGE, dtype=torch.bool)
+        caps = torch.zeros(BATCH, MAX_LEN, dtype=torch.long)
+        cap_mask = torch.ones(BATCH, MAX_LEN, dtype=torch.bool)
+        cap_mask[:, 0] = False
+
+        model(img, mask, caps, cap_mask)  # warmup
+        t0 = time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            model(img, mask, caps, cap_mask)
+        t_fwd = (time.perf_counter() - t0) / reps
+
+    cps = BATCH / (DECODE_STEPS * t_fwd)
+    with open(CACHE, "w") as f:
+        json.dump(
+            {
+                "captions_per_sec": cps,
+                "t_full_forward_s": t_fwd,
+                "batch": BATCH,
+                "steps": DECODE_STEPS,
+                "hardware": "cpu (1 core)",
+                "model": f"{BACKBONE}+6enc/6dec d=256 vocab=30522",
+                "method": "full-forward-per-token cost model of eval_utils/decode.py:53-81",
+            },
+            f,
+            indent=2,
+        )
+    return cps
+
+
+def measure_tpu() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from retr_tpu import decode
+    from retr_tpu.masking import Masked
+    from retr_tpu.models import caption
+
+    cfg = flagship_cfg()
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(BATCH, 3, IMAGE, IMAGE)), jnp.float32)
+    mask = jnp.zeros((BATCH, IMAGE, IMAGE), dtype=bool)
+    samples = Masked(img, mask)
+
+    # EOS outside the argmax range -> full-length decode (throughput measured at the
+    # worst case; real eval exits early exactly like the reference).
+    kwargs = dict(max_len=MAX_LEN, bos_token=101, eos_token=cfg.vocab_size + 1)
+
+    ids = decode.greedy(params, cfg, samples, **kwargs)
+    jax.block_until_ready(ids)  # compile + warmup
+
+    reps = 5
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ids = decode.greedy(params, cfg, samples, **kwargs)
+        jax.block_until_ready(ids)   # block EVERY call: the axon transport completes
+        times.append(time.perf_counter() - t0)  # async dispatch out of order otherwise
+    dt = float(np.median(times))
+
+    return {
+        "captions_per_sec": BATCH / dt,
+        "p50_latency_s_per_batch": dt,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    baseline = measure_torch_baseline()
+    tpu = measure_tpu()
+    out = {
+        "metric": "refcoco-val batched greedy (batch 32, 127 steps): expressions/sec/chip",
+        "value": round(tpu["captions_per_sec"], 3),
+        "unit": "captions/s",
+        "vs_baseline": round(tpu["captions_per_sec"] / baseline, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Data layer tests: annotations, tokenizer, preprocessing, dataset, loader."""
+
+import numpy as np
+import pytest
+
+from retr_tpu.config import Config
+from retr_tpu.data import annotations as ann_mod
+from retr_tpu.data import dataset as ds_mod
+from retr_tpu.data.preprocess import compute_position_features, crop_image_to_bb, preprocess_sample
+from retr_tpu.data.tokenizer import WordPieceTokenizer, prepare_tokenizer
+from tests.synth_refcoco import make_synth_refcoco
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("refcoco")
+    return make_synth_refcoco(str(root))
+
+
+@pytest.fixture(scope="module")
+def cfg(synth):
+    coco_dir, ref_dir = synth
+    return Config(dir=coco_dir, ref_dir=ref_dir, verbose=False)
+
+
+# -- tokenizer ---------------------------------------------------------------------
+
+
+def test_tokenizer_roundtrip():
+    tok, bos, eos = prepare_tokenizer()
+    assert (bos, eos) == (101, 102)
+    enc = tok.encode_plus("the man wearing a red shirt", max_length=16)
+    assert len(enc["input_ids"]) == 16
+    assert enc["input_ids"][0] == 101
+    assert 102 in enc["input_ids"]
+    dec = tok.decode(enc["input_ids"])
+    assert dec == "the man wearing a red shirt"
+
+
+def test_tokenizer_matches_hf_bert_algorithm():
+    """Cross-check the basic+wordpiece algorithm against HF's BertTokenizer running
+    on OUR vocab (transformers is installed; only the pretrained download is not
+    available offline)."""
+    from transformers import BertTokenizer
+    import tempfile, os
+
+    tok = WordPieceTokenizer.synthetic(["hello", "world", "tokenization", "pieces"])
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "vocab.txt")
+        inv = {i: t for t, i in tok.vocab.items()}
+        with open(path, "w") as f:
+            for i in range(max(inv) + 1):
+                f.write(inv.get(i, f"[unused_fill_{i}]") + "\n")
+        hf = BertTokenizer(path, do_lower_case=True)
+        for text in ["Hello, WORLD!", "tokenization piece's", "héllo wörld...", "a b ##c"]:
+            assert tok.tokenize(text) == hf.tokenize(text), text
+            assert tok.encode(text, max_length=10) == hf.encode(text, max_length=10, truncation=True), text
+        ids = tok.encode("hello world")
+        assert tok.decode(ids) == hf.decode(ids, skip_special_tokens=True)
+
+
+def test_truncation_semantics():
+    tok, _, _ = prepare_tokenizer()
+    long_text = " ".join(["the"] * 50)
+    ids = tok.encode(long_text, max_length=10)
+    assert len(ids) == 10 and ids[0] == 101 and ids[-1] == 102
+
+
+# -- preprocessing -----------------------------------------------------------------
+
+
+def test_crop_image_to_bb_semantics(rng):
+    img = rng.integers(0, 256, (50, 60, 3), dtype=np.uint8)
+    t, tm, c, cm = crop_image_to_bb(img, [10.4, 5.6, 20.2, 14.5], return_context=True)
+    # round(10.4)=10, round(5.6)=6, round(20.2)=20, round(14.5)=14 (banker's)
+    assert t.shape == (14, 20, 3)
+    np.testing.assert_array_equal(t, img[6:20, 10:30])
+    assert not tm.any()
+    assert (c[6:20, 10:30] == 0).all()
+    assert cm[6:20, 10:30].all() and cm.sum() == 14 * 20
+
+
+def test_position_features():
+    feats = compute_position_features((100, 200, 3), [20, 10, 40, 50])
+    np.testing.assert_allclose(feats, [0.1, 0.1, 0.3, 0.6, (40 * 50) / (200 * 100)], atol=1e-6)
+
+
+def test_preprocess_sample_shapes(rng):
+    tok, _, _ = prepare_tokenizer()
+    img = rng.integers(0, 256, (100, 150, 3), dtype=np.uint8)
+    s = preprocess_sample(
+        img, [10, 10, 60, 40], "the red dog on the left", tok,
+        image_size=64, max_length=16, use_global=True, use_location=True,
+    )
+    assert s.target_image.shape == (64, 64, 3) and s.target_image.dtype == np.uint8
+    assert s.target_mask.shape == (64, 64) and s.target_mask.dtype == bool
+    assert s.context_image.shape == (64, 64, 3)
+    assert s.context_mask.any()  # bbox region masked True
+    assert s.caption_ids.shape == (17,)
+    assert s.caption_mask.shape == (17,)
+    assert s.loc_feats.shape == (5,)
+    # target mask: fully visible region -> only padding True
+    assert not s.target_mask[32, 32]
+
+
+# -- annotations + dataset ---------------------------------------------------------
+
+
+def test_annotations_load(synth):
+    _, ref_dir = synth
+    rows, ids = ann_mod.get_refcoco_data(ref_dir)
+    assert len(rows) == 8  # 4 anns x 2 sentences
+    assert set(ids["caption_ids"]) == {"train", "val", "testA"}
+    assert len(ids["caption_ids"]["train"]) == 4
+    r = rows[0]
+    assert {"sent_id", "ann_id", "caption", "ref_id", "refcoco_split", "image_id", "bbox"} <= set(r)
+    assert r["coco_split"] == "train"
+
+
+def test_build_dataset_and_loader(cfg):
+    tok, _, _ = prepare_tokenizer()
+    ds = ds_mod.build_dataset(cfg, "training", tokenizer=tok)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s.target_image.shape == (cfg.image_size, cfg.image_size, 3)
+
+    loader = ds_mod.DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    hb = batches[0]
+    assert hb.target_images.shape == (2, cfg.image_size, cfg.image_size, 3)
+    assert hb.caps.shape == (2, cfg.max_position_embeddings + 1)
+    # deterministic shuffle per epoch seed
+    loader2 = ds_mod.DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, num_workers=2)
+    np.testing.assert_array_equal(batches[0].ann_ids, list(loader2)[0].ann_ids)
+
+
+def test_return_unique(cfg):
+    tok, _, _ = prepare_tokenizer()
+    ds_all = ds_mod.build_dataset(cfg, "training", tokenizer=tok)
+    ds_uniq = ds_mod.build_dataset(cfg, "training", tokenizer=tok, return_unique=True)
+    assert len(ds_uniq) <= len(ds_all)
+    ids = [a[0] for a in ds_uniq.annot_select]
+    assert len(ids) == len(set(ids))
+
+
+def test_device_pipeline(cfg):
+    import jax
+
+    from retr_tpu.data import pipeline
+
+    tok, _, _ = prepare_tokenizer()
+    ds = ds_mod.build_dataset(cfg, "training", tokenizer=tok)
+    hb = ds_mod.collate([ds[0], ds[1]])
+    batch = pipeline.device_batch(hb, train=True, key=jax.random.key(0))
+    assert batch.images.shape == (2, 3, cfg.image_size, cfg.image_size)
+    assert batch.images.dtype == np.float32
+    # normalized stats in a sane range
+    x = np.asarray(batch.images)
+    assert -3.0 < x.mean() < 3.0
+    eval_batch = pipeline.device_batch(hb, train=False)
+    assert eval_batch.images.shape == batch.images.shape
