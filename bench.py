@@ -112,15 +112,15 @@ def measure_tpu() -> dict:
     kwargs = dict(max_len=MAX_LEN, bos_token=101, eos_token=cfg.vocab_size + 1)
 
     ids = decode.greedy(params, cfg, samples, **kwargs)
-    jax.block_until_ready(ids)  # compile + warmup
+    np.asarray(ids)  # compile + warmup; under axon only a host fetch forces completion
 
     reps = 5
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         ids = decode.greedy(params, cfg, samples, **kwargs)
-        jax.block_until_ready(ids)   # block EVERY call: the axon transport completes
-        times.append(time.perf_counter() - t0)  # async dispatch out of order otherwise
+        np.asarray(ids)  # block_until_ready alone returns at dispatch-ack on axon
+        times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
     return {

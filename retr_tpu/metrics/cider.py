@@ -1,0 +1,84 @@
+"""CIDEr (consensus-based image description evaluation), pycocoevalcap-compatible.
+
+The variant nlgeval computes for the reference's per-epoch early-stopping signal
+(main.py:85-87, engine.py:184-185): tf-idf 1-4-gram vectors with corpus document
+frequency over the reference sets, min-clipped cosine similarity, Gaussian length
+penalty (sigma=6), averaged over orders and references, scaled by 10.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from typing import Dict, List, Tuple
+
+
+def _ngram_counts(words: List[str], max_n: int = 4) -> List[Counter]:
+    return [Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
+            for n in range(1, max_n + 1)]
+
+
+class CiderScorer:
+    def __init__(self, n: int = 4, sigma: float = 6.0):
+        self.n = n
+        self.sigma = sigma
+
+    def compute(self, references: List[List[str]], hypotheses: List[str]) -> Tuple[float, List[float]]:
+        crefs = [[_ngram_counts(r.split(), self.n) for r in refs] for refs in references]
+        ctest = [_ngram_counts(h.split(), self.n) for h in hypotheses]
+
+        # document frequency over reference sets: one increment per image per distinct
+        # ngram appearing in ANY of its references.
+        doc_freq: Dict[tuple, float] = defaultdict(float)
+        for refs in crefs:
+            seen = set()
+            for ref_counts in refs:
+                for n_counts in ref_counts:
+                    seen.update(n_counts.keys())
+            for ng in seen:
+                doc_freq[ng] += 1.0
+
+        ref_len = math.log(float(len(crefs)))
+
+        def counts2vec(counts_per_n):
+            vec = [defaultdict(float) for _ in range(self.n)]
+            norm = [0.0] * self.n
+            length = 0
+            for n_idx, n_counts in enumerate(counts_per_n):
+                for ng, tf in n_counts.items():
+                    df = math.log(max(doc_freq[ng], 1.0))
+                    vec[n_idx][ng] = float(tf) * (ref_len - df)
+                    norm[n_idx] += vec[n_idx][ng] ** 2
+                    if n_idx == 0:
+                        length += tf
+                norm[n_idx] = math.sqrt(norm[n_idx])
+            return vec, norm, length
+
+        def sim(vh, nh, lh, vr, nr, lr):
+            delta = float(lh - lr)
+            val = [0.0] * self.n
+            for n_idx in range(self.n):
+                for ng, c in vh[n_idx].items():
+                    val[n_idx] += min(vh[n_idx][ng], vr[n_idx][ng]) * vr[n_idx][ng]
+                if nh[n_idx] != 0 and nr[n_idx] != 0:
+                    val[n_idx] /= nh[n_idx] * nr[n_idx]
+                val[n_idx] *= math.e ** (-(delta ** 2) / (2 * self.sigma ** 2))
+            return val
+
+        scores = []
+        for test_counts, refs in zip(ctest, crefs):
+            vh, nh, lh = counts2vec(test_counts)
+            acc = [0.0] * self.n
+            for ref_counts in refs:
+                vr, nr, lr = counts2vec(ref_counts)
+                s = sim(vh, nh, lh, vr, nr, lr)
+                for i in range(self.n):
+                    acc[i] += s[i]
+            score_avg = sum(acc) / self.n / len(refs) * 10.0
+            scores.append(score_avg)
+
+        return sum(scores) / len(scores), scores
+
+
+def cider(references: List[List[str]], hypotheses: List[str]) -> Tuple[float, List[float]]:
+    return CiderScorer().compute(references, hypotheses)

@@ -1,0 +1,102 @@
+"""Metric tests: golden values, identity properties, nlgeval-facade shapes."""
+
+import math
+
+import pytest
+
+from retr_tpu.metrics import NLGEval, compute_metrics
+from retr_tpu.metrics.bleu import corpus_bleu
+from retr_tpu.metrics.cider import cider
+from retr_tpu.metrics.meteor import meteor
+from retr_tpu.metrics.porter import porter_stem
+from retr_tpu.metrics.rouge import rouge_l
+
+
+def test_bleu_perfect_match():
+    refs = [["the cat sat on the mat"], ["a dog runs fast"]]
+    hyps = ["the cat sat on the mat", "a dog runs fast"]
+    bleus, _ = corpus_bleu(refs, hyps)
+    for b in bleus:
+        assert b == pytest.approx(1.0, abs=1e-6)
+
+
+def test_bleu_unigram_golden():
+    # hyp 'the the cat' vs ref 'the cat': clipped unigram correct = min(2,1)+1 = 2,
+    # guess = 3; BP = exp(1 - 2/3)... testlen 3 > reflen 2 -> no BP. BLEU1 = 2/3.
+    bleus, _ = corpus_bleu([["the cat"]], ["the the cat"])
+    assert bleus[0] == pytest.approx(2.0 / 3.0, abs=1e-6)
+
+
+def test_bleu_brevity_penalty():
+    # hyp shorter than ref: BP = exp(1 - reflen/testlen)
+    bleus, _ = corpus_bleu([["the cat sat on the mat"]], ["the cat"])
+    expected = 1.0 * math.exp(1 - 6 / 2)
+    assert bleus[0] == pytest.approx(expected, rel=1e-5)
+
+
+def test_cider_identical_corpus():
+    refs = [["the red dog", "a red dog"], ["a small cat", "the small cat"]]
+    hyps = ["the red dog", "a small cat"]
+    score, per = cider(refs, hyps)
+    assert score > 0
+    assert len(per) == 2
+    # hypothesis identical to one reference scores higher than a disjoint one
+    score2, _ = cider(refs, ["green banana here", "purple elephant there"])
+    assert score > score2
+
+
+def test_cider_length_penalty_applies():
+    # varied refs across images so idf is non-degenerate
+    refs = [["the red dog on the mat"], ["a small cat under the chair"]]
+    s_exact, _ = cider(refs, ["the red dog on the mat", "a small cat under the chair"])
+    s_short, _ = cider(refs, ["the red dog", "a small cat"])
+    assert s_exact > s_short > 0
+
+
+def test_rouge_golden():
+    # hyp 'the cat' vs ref 'the cat sat': lcs=2, p=1.0, r=2/3, beta=1.2
+    score, per = rouge_l([["the cat sat"]], ["the cat"])
+    p, r, b = 1.0, 2 / 3, 1.2
+    expected = (1 + b * b) * p * r / (r + b * b * p)
+    assert score == pytest.approx(expected, rel=1e-6)
+
+
+def test_rouge_max_over_refs():
+    score, _ = rouge_l([["completely different words", "the cat sat"]], ["the cat sat"])
+    assert score == pytest.approx(1.0)
+
+
+def test_porter_stemmer_classics():
+    for w, s in [("caresses", "caress"), ("ponies", "poni"), ("cats", "cat"),
+                 ("agreed", "agre"), ("plastered", "plaster"), ("motoring", "motor"),
+                 ("happy", "happi"), ("relational", "relat"), ("adjustable", "adjust"),
+                 ("effective", "effect")]:
+        assert porter_stem(w) == s, (w, porter_stem(w), s)
+
+
+def test_meteor_exact_and_stem():
+    score, _ = meteor([["the cat sat"]], ["the cat sat"])
+    # perfect match, m=3, one chunk: fmean=1, penalty=0.5*(1/3)^3 -> 0.98148
+    assert score == pytest.approx(1.0 - 0.5 * (1 / 3) ** 3, abs=1e-6)
+    # stem-stage match: 'running' vs 'runs' -> both stem to 'run'
+    s2, _ = meteor([["the dog runs"]], ["the dog running"])
+    assert s2 > 0.5
+    s3, _ = meteor([["entirely different sentence"]], ["the dog running"])
+    assert s3 == 0.0
+
+
+def test_nlgeval_facade_transposed_refs():
+    # reference calls with zip(*)-transposed refs (engine.py:181): ref_list[k][i]
+    refs_per_seg = [["the red dog", "a red dog"], ["a small cat", "one small cat"]]
+    transposed = list(map(list, zip(*refs_per_seg)))
+    hyps = ["the red dog", "a small cat"]
+    m = NLGEval(no_skipthoughts=True, no_glove=True).compute_metrics(transposed, hyps)
+    assert set(m) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"}
+    assert m["Bleu_1"] == pytest.approx(1.0, abs=1e-6)
+    assert m["CIDEr"] > 1.0
+
+
+def test_metrics_to_omit():
+    # transposed layout: one reference per segment, two segments
+    m = compute_metrics([["a b", "a b"]], ["a b", "a b"], metrics_to_omit=["METEOR", "CIDEr"])
+    assert "METEOR" not in m and "CIDEr" not in m and "Bleu_4" in m
