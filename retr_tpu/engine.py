@@ -1,0 +1,155 @@
+"""Train/eval engine: epoch loops and the NLG-metric evaluation harness.
+
+Reference: engine.py. Key behaviors preserved:
+
+- ``train_one_epoch``: teacher forcing with caps[:, :-1] / caps[:, 1:]
+  (engine.py:70-71), NaN-loss hard stop (engine.py:75-77 — raised here instead of
+  sys.exit so callers can handle it), epoch-mean loss.
+- ``evaluate``: same forward without grad/dropout (engine.py:89-114).
+- ``eval_model`` (engine.py:125-186): per-ann_id reference dict built from
+  ``dataset.annot``, greedy decoding per batch, tokenizer round-trip normalization of
+  references (engine.py:117-122), and the reference's ``zip(*references)``
+  TRANSPOSITION — which truncates every sample to the global minimum reference count
+  before scoring (engine.py:181). That truncation is parity-relevant for CIDEr
+  reproduction and is kept deliberately.
+
+The compute is all jit: the engine is a thin host loop moving uint8 batches onto the
+device and streaming results back.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from retr_tpu import decode as decode_mod
+from retr_tpu.config import Config
+from retr_tpu.data.dataset import DataLoader, HostBatch
+from retr_tpu.data.pipeline import device_batch
+from retr_tpu.masking import Masked
+from retr_tpu.metrics import NLGEval
+from retr_tpu.train.state import Batch, TrainState, make_eval_step
+from retr_tpu.utils.logging import MetricLogger
+
+
+class NonFiniteLossError(RuntimeError):
+    """Raised when a training batch produces a non-finite loss (engine.py:75-77)."""
+
+
+def train_one_epoch(
+    state: TrainState,
+    step_fn,
+    loader: DataLoader,
+    key: jax.Array,
+    *,
+    epoch: int = 0,
+    logger: Optional[MetricLogger] = None,
+) -> Tuple[TrainState, float]:
+    epoch_loss, n = 0.0, 0
+    epoch_key = jax.random.fold_in(key, epoch)
+    for host_batch in loader:
+        batch = device_batch(host_batch, train=True, key=jax.random.fold_in(epoch_key, n))
+        state, loss = step_fn(state, batch, epoch_key)
+        loss_value = float(loss)
+        if not math.isfinite(loss_value):
+            raise NonFiniteLossError(f"Loss is {loss_value}, stopping training")
+        epoch_loss += loss_value
+        n += 1
+        if logger is not None:
+            logger.log("train_step", step=int(state.step), loss=loss_value, epoch=epoch)
+    return state, epoch_loss / max(n, 1)
+
+
+def evaluate(params, cfg: Config, loader: DataLoader, *, eval_step=None) -> float:
+    if eval_step is None:
+        eval_step = make_eval_step(cfg)
+    total, n = 0.0, 0
+    for host_batch in loader:
+        batch = device_batch(host_batch, train=False)
+        total += float(eval_step(params, batch))
+        n += 1
+    return total / max(n, 1)
+
+
+def normalize_with_tokenizer(sent: str, tokenizer) -> str:
+    """Tokenizer encode->decode round trip (engine.py:117-122)."""
+    return tokenizer.decode(tokenizer.encode(sent), skip_special_tokens=True)
+
+
+def eval_model(
+    params,
+    cfg: Config,
+    loader: DataLoader,
+    tokenizer,
+    *,
+    metrics_to_omit: Optional[List[str]] = None,
+    print_samples: bool = False,
+    decoder: str = "greedy",
+) -> Tuple[Dict[str, float], List[dict]]:
+    """Greedy-decode the loader's dataset and score with the NLG suite.
+
+    ``decoder='beam'`` swaps in beam search (beam_size/length_penalty from cfg) —
+    a north-star extension; the reference is greedy-only.
+    """
+    nlgeval = NLGEval(no_skipthoughts=True, no_glove=True, metrics_to_omit=metrics_to_omit or [])
+
+    annotations: Dict[int, List[str]] = defaultdict(list)
+    for a in loader.dataset.annot:  # (ann_id, filename, caption, bbox)
+        annotations[a[0]].append(a[2])
+
+    pad_id = tokenizer.convert_tokens_to_ids(tokenizer.pad_token)
+    bos_id = tokenizer.convert_tokens_to_ids(tokenizer.cls_token)
+    eos_id = tokenizer.convert_tokens_to_ids(tokenizer.sep_token)
+
+    hypotheses: List[str] = []
+    ids_hypotheses: List[dict] = []
+    references: List[List[str]] = []
+
+    for host_batch in loader:
+        batch = device_batch(host_batch, train=False)
+        samples = Masked(batch.images, batch.image_masks)
+        g = Masked(batch.global_images, batch.global_masks) if batch.global_images is not None else None
+
+        if decoder == "greedy":
+            ids = decode_mod.greedy(
+                params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
+                max_len=cfg.max_position_embeddings,
+                bos_token=bos_id, eos_token=eos_id,
+            )
+        elif decoder == "beam":
+            tokens, _ = decode_mod.beam_search(
+                params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
+                max_len=cfg.max_position_embeddings,
+                bos_token=bos_id, eos_token=eos_id,
+                beam_size=cfg.beam_size, length_penalty=cfg.length_penalty,
+            )
+            ids = tokens[:, 0]
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+        pruned = decode_mod.prune_token_ids(
+            np.asarray(ids).tolist(), clean=True,
+            pad_token=pad_id, bos_token=bos_id, eos_token=eos_id,
+        )
+        hyps = tokenizer.batch_decode(pruned)
+        hypotheses += hyps
+
+        ids_hyps = [
+            {"ann_id": int(i), "expression": h}
+            for i, h in zip(host_batch.ann_ids.tolist(), hyps)
+        ]
+        ids_hypotheses += ids_hyps
+        if print_samples:
+            print(*ids_hyps, sep="\n")
+
+        refs = [annotations[int(i)] for i in host_batch.ann_ids]
+        references += [[normalize_with_tokenizer(r, tokenizer) for r in rs] for rs in refs]
+
+    # the reference's zip(*) transposition truncates to the min ref count (engine.py:181)
+    transposed_references = list(map(list, zip(*references)))
+    metrics = nlgeval.compute_metrics(ref_list=transposed_references, hyp_list=hypotheses)
+    return metrics, ids_hypotheses

@@ -1,0 +1,99 @@
+"""Training entry point.
+
+Reference: main.py:15-108. Epoch loop: train -> validation loss -> CIDEr eval ->
+checkpoint -> early stop when CIDEr drops below the min of the last 5 scores
+(main.py:96-99, including the scores-list-starts-at-[0] semantics). Additions over
+the reference: working resume (--resume restores the latest checkpoint; the
+reference's start_epoch is dead code), JSONL metric logging, and everything compiled.
+
+Run:  python -m retr_tpu.main [--config path.json] [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+
+from retr_tpu.config import Config
+from retr_tpu.data import dataset as ds
+from retr_tpu.data.tokenizer import prepare_tokenizer
+from retr_tpu.engine import eval_model, evaluate, train_one_epoch
+from retr_tpu.models import caption
+from retr_tpu.train import checkpoints as ckpt
+from retr_tpu.train.state import TrainState, make_eval_step, make_optimizer, make_train_step
+from retr_tpu.utils.logging import MetricLogger
+
+
+def main(config: Config, resume: bool = False) -> None:
+    logger = MetricLogger(os.path.join(config.checkpoint_path, "metrics.jsonl"))
+    key = jax.random.key(config.seed)
+
+    params, _ = caption.build_model(config, key)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    logger.log("init", n_parameters=int(n_params), config=config.to_dict())
+
+    tokenizer, _, _ = prepare_tokenizer(config.vocab_file)
+
+    dataset_train = ds.build_dataset(config, "training", tokenizer=tokenizer)
+    dataset_val = ds.build_dataset(config, "validation", tokenizer=tokenizer)
+    dataset_cider = ds.build_dataset(config, "validation", tokenizer=tokenizer, return_unique=True)
+    logger.log("datasets", train=len(dataset_train), val=len(dataset_val), cider=len(dataset_cider))
+
+    loader_train = ds.DataLoader(
+        dataset_train, config.batch_size, shuffle=True, drop_last=True,
+        seed=config.seed, num_workers=config.num_workers,
+    )
+    loader_val = ds.DataLoader(dataset_val, config.batch_size, num_workers=config.num_workers)
+    loader_cider = ds.DataLoader(dataset_cider, config.batch_size, num_workers=config.num_workers)
+
+    steps_per_epoch = len(loader_train)
+    tx = make_optimizer(config, steps_per_epoch)
+    state = TrainState(params, tx.init(params), jax.numpy.int32(0))
+    train_step = make_train_step(config, tx)
+    eval_step = make_eval_step(config)
+
+    start_epoch = config.start_epoch
+    if resume:
+        latest = ckpt.latest_checkpoint(config.checkpoint_path, config)
+        if latest is not None:
+            state, meta = ckpt.load_checkpoint(latest, state)
+            start_epoch = meta["epoch"] + 1
+            logger.log("resume", checkpoint=latest, epoch=start_epoch)
+
+    cider_scores = [0.0]
+    for epoch in range(start_epoch, config.epochs):
+        logger.log("epoch_start", epoch=epoch)
+        state, epoch_loss = train_one_epoch(
+            state, train_step, loader_train, key, epoch=epoch, logger=logger
+        )
+        validation_loss = evaluate(state.params, config, loader_val, eval_step=eval_step)
+        eval_results, _ = eval_model(state.params, config, loader_cider, tokenizer)
+        cider_score = eval_results["CIDEr"]
+        logger.log(
+            "epoch_end", epoch=epoch, train_loss=epoch_loss,
+            val_loss=validation_loss, cider=cider_score, metrics=eval_results,
+        )
+
+        ckpt.save_checkpoint(
+            config.checkpoint_path, state, config, epoch=epoch,
+            train_loss=epoch_loss, val_loss=validation_loss, cider_score=cider_score,
+        )
+
+        if config.early_stopping and cider_score < min(cider_scores[-5:]):
+            logger.log("early_stop", epoch=epoch)  # main.py:96-99 semantics
+            break
+        cider_scores.append(cider_score)
+
+    logger.close()
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="", help="JSON config file (defaults otherwise)")
+    ap.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
+    args = ap.parse_args()
+    cfg = Config.from_json(open(args.config).read()) if args.config else Config()
+    main(cfg, resume=args.resume)

@@ -1,0 +1,140 @@
+"""Checkpoint / resume via Orbax, with explicit metadata.
+
+Reference: train_utils/checkpoints.py:4-32 (single torch.save dict of model/optimizer/
+scheduler state + epoch/train_loss/val_loss/cider_score) and main.py:69-94 (per-epoch
+checkpoints named ``{transformer_type}_{prefix}[_loc][_glob]_checkpoint_{epoch}.pth``;
+the resume path exists but is dead code, and eval infers model variant flags from
+FILENAME SUBSTRINGS, eval_model.py:49-82).
+
+Here:
+- the whole TrainState pytree (params + optimizer state + step) is saved with Orbax;
+- the Config itself plus epoch/losses/CIDEr ride along as JSON metadata — no filename
+  sniffing: ``load_checkpoint`` rebuilds the right model variant from the embedded
+  config (the reference's override-by-filename becomes ``config_from_checkpoint``);
+- resume is wired for real: ``latest_checkpoint`` + restore give step-exact
+  continuation (the reference declares config.start_epoch but never uses it);
+- ``import_reference_checkpoint`` converts a reference ``.pth`` (its
+  ``model_state_dict``) into our params for parity evaluation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+
+from retr_tpu.config import Config
+from retr_tpu.train.state import TrainState
+
+METADATA_FILE = "retr_metadata.json"
+
+
+def checkpoint_name(cfg: Config, epoch: int) -> str:
+    """Reference filename template (main.py:69-71), as a directory name."""
+    loc = "_loc" if cfg.use_location_features else ""
+    glob = "_glob" if cfg.use_global_features else ""
+    return f"{cfg.transformer_type}_{cfg.prefix}{loc}{glob}_checkpoint_{epoch}"
+
+
+def save_checkpoint(
+    directory: str,
+    state: TrainState,
+    cfg: Config,
+    *,
+    epoch: int,
+    train_loss: float = float("nan"),
+    val_loss: float = float("nan"),
+    cider_score: float = float("nan"),
+) -> str:
+    import orbax.checkpoint as ocp
+
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.abspath(os.path.join(directory, checkpoint_name(cfg, epoch)))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    meta = {
+        "epoch": epoch,
+        "step": int(state.step),
+        "train_loss": float(train_loss),
+        "val_loss": float(val_loss),
+        "cider_score": float(cider_score),
+        "config": cfg.to_dict(),
+    }
+    with open(os.path.join(path, METADATA_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def read_metadata(path: str) -> Dict[str, Any]:
+    with open(os.path.join(path, METADATA_FILE)) as f:
+        return json.load(f)
+
+
+def config_from_checkpoint(path: str) -> Config:
+    """The sane replacement for the reference's filename sniffing
+    (eval_model.py:49-82): the config IS in the checkpoint."""
+    return Config.from_dict(read_metadata(path)["config"])
+
+
+def load_checkpoint(path: str, template: TrainState) -> Tuple[TrainState, Dict[str, Any]]:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.abspath(path), template)
+    return state, read_metadata(path)
+
+
+def latest_checkpoint(directory: str, cfg: Optional[Config] = None) -> Optional[str]:
+    """Highest-epoch checkpoint dir under `directory` (optionally for cfg's name
+    pattern)."""
+    if not os.path.isdir(directory):
+        return None
+    pat = re.compile(r"_checkpoint_(\d+)$")
+    best, best_epoch = None, -1
+    for name in os.listdir(directory):
+        m = pat.search(name)
+        if not m:
+            continue
+        if cfg is not None and not name.startswith(checkpoint_name(cfg, 0).rsplit("_", 1)[0]):
+            continue
+        full = os.path.join(directory, name)
+        if os.path.exists(os.path.join(full, METADATA_FILE)) and int(m.group(1)) > best_epoch:
+            best, best_epoch = full, int(m.group(1))
+    return best
+
+
+# ---------------------------------------------------------------------------------
+# Reference-checkpoint interop
+# ---------------------------------------------------------------------------------
+
+
+def override_config_with_reference_filename(cfg: Config, checkpoint_path: str) -> Config:
+    """Compat shim replicating eval_model.py:49-82's filename sniffing for REFERENCE
+    .pth files ('loc_checkpoint' / 'loc_glob_checkpoint' substrings)."""
+    name = os.path.basename(checkpoint_path)
+    if "loc_glob_checkpoint" in name:
+        return cfg.replace(use_location_features=True, use_global_features=True)
+    if "loc_checkpoint" in name:
+        return cfg.replace(use_location_features=True, use_global_features=False)
+    return cfg.replace(use_location_features=False, use_global_features=False)
+
+
+def import_reference_checkpoint(pth_path: str, cfg: Config):
+    """Load a reference torch checkpoint's model_state_dict into our params.
+
+    Requires torch on the host (available in this environment); the framework's
+    compute path never touches torch.
+    """
+    import torch
+
+    from retr_tpu.models.torch_import import import_caption_model
+
+    blob = torch.load(pth_path, map_location="cpu", weights_only=False)
+    state_dict = blob.get("model_state_dict", blob)
+    np_state = {k: v.detach().numpy() for k, v in state_dict.items()}
+    return import_caption_model(np_state, cfg), {
+        k: blob[k] for k in ("epoch", "train_loss", "val_loss", "cider_score") if k in blob
+    }
