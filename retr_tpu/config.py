@@ -80,9 +80,10 @@ class Config:
     num_location_features: int = 5
     # Compute dtype for matmul-heavy paths: "float32" for parity, "bfloat16" for speed.
     compute_dtype: str = "float32"
-    # Use the fused Pallas attention kernel where profitable (falls back to XLA
-    # attention when attention maps are requested or on CPU).
-    use_pallas_attention: bool = True
+    # Use the fused Pallas attention kernel where eligible (no attention-map output,
+    # no attention dropout, TPU backend). Default False = the XLA path, which is the
+    # bit-parity configuration; benchmarks enable it explicitly.
+    use_pallas_attention: bool = False
     # Beam search (north-star extension; the reference is greedy-only).
     beam_size: int = 5
     length_penalty: float = 1.0          # score / length**length_penalty

@@ -163,11 +163,28 @@ def multi_head_attention(
     dropout_rate: float = 0.0,
     dropout_key: Optional[jax.Array] = None,
     train: bool = False,
+    use_pallas: bool = False,
+    causal: bool = False,
+    key_pad_bias: Optional[jax.Array] = None,
 ):
-    """Full MHA: project, attend, merge, out-project. Inputs [B, S, E]."""
+    """Full MHA: project, attend, merge, out-project. Inputs [B, S, E].
+
+    When ``use_pallas`` and the mask decomposes as (key_pad_bias [B, Sk], causal),
+    the fused Pallas kernel handles the attention core (ops/attention.py); the XLA
+    einsum path covers everything else (CPU, attention maps, dropout).
+    """
     q = split_heads(linear(p["q"], query), num_heads)
     k = split_heads(linear(p["k"], key_), num_heads)
     v = split_heads(linear(p["v"], value), num_heads)
+
+    if use_pallas and not need_weights and not (dropout_rate > 0.0 and train):
+        from retr_tpu.ops.attention import attention as fused
+
+        out, _ = fused(
+            q, k, v, bias, need_weights=False, use_pallas=True,
+            causal=causal, key_bias=key_pad_bias,
+        )
+        return linear(p["out"], merge_heads(out.astype(v.dtype))), None
 
     if dropout_rate > 0.0 and train:
         # torch applies dropout to the attention probabilities; replicate on that path.

@@ -107,7 +107,8 @@ def _with_pos(x, pos):
     return x if pos is None else x + pos
 
 
-def _self_att_block(p, x, pos, bias, cfg, *, need_weights, key, train):
+def _self_att_block(p, x, pos, bias, cfg, *, need_weights, key, train,
+                    causal=False, key_pad_bias=None):
     """SelfAttResidual (transformer_modules.py:22-46)."""
     nx = layers.layer_norm(p["norm"], x)
     qk = _with_pos(nx, pos)
@@ -116,11 +117,13 @@ def _self_att_block(p, x, pos, bias, cfg, *, need_weights, key, train):
         p["mha"], qk, qk, nx,
         num_heads=cfg.nheads, bias=bias, need_weights=need_weights,
         dropout_rate=cfg.dropout, dropout_key=k_attn, train=train,
+        use_pallas=cfg.use_pallas_attention, causal=causal, key_pad_bias=key_pad_bias,
     )
     return x + layers.dropout(out, cfg.dropout, k_res, train), w
 
 
-def _cross_att_block(p, q, kv, q_pos, k_pos, bias, cfg, *, need_weights, key, train):
+def _cross_att_block(p, q, kv, q_pos, k_pos, bias, cfg, *, need_weights, key, train,
+                     key_pad_bias=None):
     """CrossAttResidual (transformer_modules.py:49-74): only the query is normed."""
     nq = layers.layer_norm(p["norm"], q)
     k_attn, k_res = (None, None) if key is None else jax.random.split(key)
@@ -128,6 +131,7 @@ def _cross_att_block(p, q, kv, q_pos, k_pos, bias, cfg, *, need_weights, key, tr
         p["mha"], _with_pos(nq, q_pos), _with_pos(kv, k_pos), kv,
         num_heads=cfg.nheads, bias=bias, need_weights=need_weights,
         dropout_rate=cfg.dropout, dropout_key=k_attn, train=train,
+        use_pallas=cfg.use_pallas_attention, key_pad_bias=key_pad_bias,
     )
     return q + layers.dropout(out, cfg.dropout, k_res, train), w
 
@@ -176,6 +180,7 @@ def encode(
         train=train,
     )
     bias = key_padding_bias(src_pad_mask)
+    kp_bias = bias[:, 0, 0, :]  # [B, S] additive form for the Pallas kernel
 
     x = src
     enc_ws = []
@@ -184,7 +189,7 @@ def encode(
         k_sa, k_ff = (None, None) if lk is None else jax.random.split(lk)
         x, w = _self_att_block(
             lp["self_attn"], x, pos[None, :, :], bias, cfg,
-            need_weights=need_weights, key=k_sa, train=train,
+            need_weights=need_weights, key=k_sa, train=train, key_pad_bias=kp_bias,
         )
         if need_weights:
             enc_ws.append(w)
@@ -216,6 +221,8 @@ def decode_full(
 
     self_bias = causal_mask(t)[None, None, :, :] + key_padding_bias(tgt_pad_mask)
     mem_bias = key_padding_bias(mem_pad_mask)
+    tgt_kp = key_padding_bias(tgt_pad_mask)[:, 0, 0, :]
+    mem_kp = mem_bias[:, 0, 0, :]
 
     dec_sws, dec_cws = [], []
     for li, lp in enumerate(params["decoder"]["layers"]):
@@ -224,10 +231,11 @@ def decode_full(
         x, sw = _self_att_block(
             lp["self_attn"], x, query_pos, self_bias, cfg,
             need_weights=need_weights, key=k_sa, train=train,
+            causal=True, key_pad_bias=tgt_kp,
         )
         x, cw = _cross_att_block(
             lp["cross_attn"], x, memory, query_pos, pos[None, :, :], mem_bias, cfg,
-            need_weights=need_weights, key=k_ca, train=train,
+            need_weights=need_weights, key=k_ca, train=train, key_pad_bias=mem_kp,
         )
         x = _ff_block(lp["ff"], x, cfg, key=k_ff, train=train)
         if need_weights:
