@@ -271,6 +271,56 @@ def prune_token_ids(
     return results
 
 
+def greedy_single(
+    params: Params,
+    cfg: Config,
+    samples: Masked,
+    tokenizer,
+    **kwargs,
+) -> str:
+    """Single-image greedy decode -> decoded string (reference greedy_single,
+    decode.py:30-50). Thin wrapper over the batched path (batch dim of 1)."""
+    sents = greedy_decoding(samples, params, cfg, tokenizer, **kwargs)
+    return sents[0]
+
+
+def greedy_with_attention(
+    params: Params,
+    cfg: Config,
+    samples: Masked,
+    *,
+    global_samples: Optional[Masked] = None,
+    loc_feats: Optional[jax.Array] = None,
+    max_len: int = 128,
+    bos_token: int = 101,
+    eos_token: int = 102,
+    compute_dtype=jnp.float32,
+):
+    """Greedy decode + attention maps (reference greedy_with_att, decode.py:131-167).
+
+    The reference re-runs the full model per step and collects one attention dict per
+    step; position i of each returned map there equals row i of the full-sequence
+    maps here, so ONE teacher-forced forward over the decoded buffer reproduces the
+    same information without 127 model recomputes. Returns (token_ids [B, L], atts)
+    with atts keyed enc_tc_self_att / dec_exp_self_att / dec_exp_tc_cross_att
+    ([L_layers, B, T, S]-shaped stacks, ConcatTransformer.py:72-73).
+    """
+    ids = greedy(
+        params, cfg, samples, global_samples=global_samples, loc_feats=loc_feats,
+        max_len=max_len, bos_token=bos_token, eos_token=eos_token,
+        compute_dtype=compute_dtype,
+    )
+    pad_mask = ids == 0
+    from retr_tpu.models.caption import forward as caption_forward
+
+    _, atts = caption_forward(
+        params, cfg, samples, ids, pad_mask,
+        global_samples=global_samples, loc_feats=loc_feats,
+        return_attention=True, compute_dtype=compute_dtype,
+    )
+    return ids, atts
+
+
 def greedy_decoding(
     samples: Masked,
     params: Params,

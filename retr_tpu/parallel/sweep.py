@@ -1,0 +1,119 @@
+"""Multi-chip evaluation sweep: dp-sharded batched greedy over a device mesh.
+
+BASELINE.md config 5 — "Full RefCOCO/RefCOCO+/RefCOCOg eval sweep with nlgeval
+CIDEr/BLEU on a v5e-4 slice". The reference is strictly single-device
+(SURVEY.md §2.2); here the same jit-compiled KV-cached greedy runs with the batch
+sharded over the mesh's ``dp`` axis: XLA's SPMD partitioner splits the encoder and
+per-step decode across chips and inserts the one collective the loop needs (the
+all-reduce of the ``finished`` flags inside the while-loop condition) over ICI.
+
+Host batches are padded to a full, dp-divisible batch (static shapes); padded rows
+are dropped when hypotheses are collected.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from retr_tpu.config import Config
+from retr_tpu.data.dataset import DataLoader, HostBatch
+from retr_tpu.parallel.mesh import batch_sharding, replicated
+
+
+def pad_host_batch(host: HostBatch, to_size: int) -> HostBatch:
+    """Repeat the final row until the batch has ``to_size`` rows (static shapes)."""
+    b = host.target_images.shape[0]
+    if b == to_size:
+        return host
+    reps = to_size - b
+
+    def pad(x):
+        if x is None:
+            return None
+        return np.concatenate([x, np.repeat(x[-1:], reps, axis=0)], axis=0)
+
+    return HostBatch(*(pad(f) for f in host))
+
+
+def shard_batch(batch, mesh):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))) if x is not None else None,
+        batch,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def eval_model_sharded(
+    params,
+    cfg: Config,
+    loader: DataLoader,
+    tokenizer,
+    mesh,
+    *,
+    metrics_to_omit: Optional[List[str]] = None,
+) -> Dict[str, float]:
+    """engine.eval_model with dp-sharded decode. Returns the metric dict."""
+    from collections import defaultdict
+
+    from retr_tpu import decode as decode_mod
+    from retr_tpu.data.pipeline import device_batch
+    from retr_tpu.engine import normalize_with_tokenizer
+    from retr_tpu.masking import Masked
+    from retr_tpu.metrics import NLGEval
+
+    params = jax.device_put(params, replicated(mesh))
+
+    annotations = defaultdict(list)
+    for a in loader.dataset.annot:
+        annotations[a[0]].append(a[2])
+
+    pad_id = tokenizer.convert_tokens_to_ids(tokenizer.pad_token)
+    bos_id = tokenizer.convert_tokens_to_ids(tokenizer.cls_token)
+    eos_id = tokenizer.convert_tokens_to_ids(tokenizer.sep_token)
+
+    dp = mesh.shape["dp"]
+    full = ((loader.batch_size + dp - 1) // dp) * dp
+
+    hypotheses, references = [], []
+    for host in loader:
+        true_b = host.target_images.shape[0]
+        host_p = pad_host_batch(host, full)
+        batch = shard_batch(device_batch(host_p, train=False), mesh)
+        samples = Masked(batch.images, batch.image_masks)
+        g = Masked(batch.global_images, batch.global_masks) if batch.global_images is not None else None
+        ids = decode_mod.greedy(
+            params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
+            max_len=cfg.max_position_embeddings, bos_token=bos_id, eos_token=eos_id,
+        )
+        pruned = decode_mod.prune_token_ids(
+            np.asarray(ids)[:true_b].tolist(), clean=True,
+            pad_token=pad_id, bos_token=bos_id, eos_token=eos_id,
+        )
+        hypotheses += tokenizer.batch_decode(pruned)
+        refs = [annotations[int(i)] for i in host.ann_ids[:true_b]]
+        references += [[normalize_with_tokenizer(r, tokenizer) for r in rs] for rs in refs]
+
+    transposed = list(map(list, zip(*references)))
+    return NLGEval(metrics_to_omit=metrics_to_omit or []).compute_metrics(transposed, hypotheses)
+
+
+def full_eval_sweep(
+    params,
+    base_cfg: Config,
+    tokenizer,
+    mesh,
+    *,
+    datasets: Dict[str, DataLoader],
+) -> Dict[str, Dict[str, float]]:
+    """Evaluate every (dataset/split) loader in ``datasets`` on the mesh.
+
+    ``datasets`` maps a label (e.g. 'refcoco/val', 'refcoco+/testA') to its loader;
+    build them with data.dataset.build_dataset per prefix/split.
+    """
+    return {
+        label: eval_model_sharded(params, base_cfg, loader, tokenizer, mesh)
+        for label, loader in datasets.items()
+    }

@@ -1,0 +1,93 @@
+"""dp-sharded eval sweep on the virtual 8-device CPU mesh + decode helpers."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from retr_tpu import decode
+from retr_tpu.config import Config
+from retr_tpu.data import dataset as ds
+from retr_tpu.data.tokenizer import prepare_tokenizer
+from retr_tpu.masking import Masked
+from retr_tpu.models import caption
+from retr_tpu.parallel import mesh as pmesh
+from retr_tpu.parallel import sweep
+from tests.synth_refcoco import make_synth_refcoco
+
+
+def make_env(tmp_path):
+    coco_dir, ref_dir = make_synth_refcoco(str(tmp_path), n_images=4)
+    tok, _, _ = prepare_tokenizer()
+    cfg = Config(
+        dir=coco_dir, ref_dir=ref_dir, verbose=False,
+        backbone="ResNet18", dilation=False, hidden_dim=64, nheads=4, enc_layers=1,
+        dec_layers=1, dim_feedforward=128, vocab_size=tok.vocab_size,
+        max_position_embeddings=16, dropout=0.0, image_size=64, batch_size=4,
+        num_workers=2,
+    )
+    return cfg, tok
+
+
+def test_sharded_eval_matches_single_device(tmp_path):
+    cfg, tok = make_env(tmp_path)
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    dataset = ds.build_dataset(cfg, "training", tokenizer=tok, return_unique=True)
+    loader = ds.DataLoader(dataset, cfg.batch_size, num_workers=2)
+
+    from retr_tpu import engine
+
+    ref_metrics, _ = engine.eval_model(params, cfg, loader, tok)
+
+    mesh = pmesh.make_mesh(dp=4, mp=2)
+    got_metrics = sweep.eval_model_sharded(params, cfg, loader, tok, mesh)
+
+    for k in ("Bleu_1", "CIDEr", "ROUGE_L"):
+        assert got_metrics[k] == np.float64(ref_metrics[k]) or abs(got_metrics[k] - ref_metrics[k]) < 1e-9, (
+            k, got_metrics[k], ref_metrics[k])
+
+
+def test_full_eval_sweep_api(tmp_path):
+    cfg, tok = make_env(tmp_path)
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    mesh = pmesh.make_mesh(dp=8, mp=1)
+    loaders = {
+        "refcoco/train-as-val": ds.DataLoader(
+            ds.build_dataset(cfg, "training", tokenizer=tok, return_unique=True),
+            cfg.batch_size, num_workers=2,
+        ),
+    }
+    out = sweep.full_eval_sweep(params, cfg, tok, mesh, datasets=loaders)
+    assert "refcoco/train-as-val" in out and "CIDEr" in out["refcoco/train-as-val"]
+
+
+def test_pad_host_batch():
+    from retr_tpu.data.dataset import HostBatch
+
+    hb = HostBatch(
+        ann_ids=np.arange(3),
+        target_images=np.zeros((3, 4, 4, 3), np.uint8),
+        target_masks=np.zeros((3, 4, 4), bool),
+        caps=np.zeros((3, 5), np.int32),
+        cap_masks=np.zeros((3, 5), bool),
+    )
+    out = sweep.pad_host_batch(hb, 8)
+    assert out.target_images.shape[0] == 8
+    assert out.context_images is None
+
+
+def test_greedy_with_attention_helper():
+    cfg = Config(
+        backbone="ResNet18", dilation=False, hidden_dim=64, nheads=4, enc_layers=1,
+        dec_layers=1, dim_feedforward=128, vocab_size=96, max_position_embeddings=8,
+        dropout=0.0, image_size=32,
+    )
+    params, _ = caption.build_model(cfg, jax.random.key(1))
+    img = jax.random.normal(jax.random.key(2), (1, 3, 32, 32))
+    samples = Masked(img, jnp.zeros((1, 32, 32), bool))
+    ids, atts = decode.greedy_with_attention(
+        params, cfg, samples, max_len=8, bos_token=90, eos_token=91
+    )
+    assert ids.shape == (1, 8)
+    assert set(atts) == {"enc_tc_self_att", "dec_exp_self_att", "dec_exp_tc_cross_att"}
+    assert atts["dec_exp_self_att"].shape[0] == cfg.dec_layers
