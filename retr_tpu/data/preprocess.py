@@ -63,7 +63,14 @@ def compute_position_features(image_shape, bb) -> np.ndarray:
 
 
 def _resize_stream(img_u8: np.ndarray, mask: np.ndarray, out_size: int):
-    """pad-to-square + PIL-exact resize for the image; reference mask path for the mask."""
+    """pad-to-square + PIL-exact resize for the image; reference mask path for the
+    mask. Routed through the C++ core (retr_tpu.native) when built — bit-identical
+    to the numpy spec below (enforced by tests/test_native.py)."""
+    from retr_tpu import native
+
+    if native.available():
+        return native.pad_resize_image(img_u8, out_size), native.pad_resize_mask(mask, out_size)
+
     img_sq = imops.pad_uint8_to_square(img_u8)
     img_rs = imops.pil_resize_uint8(img_sq, out_size, out_size)
 
