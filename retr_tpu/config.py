@@ -94,6 +94,9 @@ class Config:
     mp_size: int = 1
 
     checkpoint_path: str = ""
+    # single-file checkpoint name knob kept for parity (configuration_template.py:29;
+    # the reference declares it but its training loop writes per-epoch files instead)
+    checkpoint: str = ""
 
     def __post_init__(self) -> None:
         if not self.ref_dir:
@@ -102,6 +105,8 @@ class Config:
             object.__setattr__(
                 self, "checkpoint_path", join(self.project_data_path, "models", self.prefix)
             )
+        if not self.checkpoint:
+            object.__setattr__(self, "checkpoint", f"./{self.prefix}_checkpoint.pth")
         if self.backbone not in ("ResNet18", "ResNet34", "ResNet50", "ResNet101"):
             raise ValueError(f"unsupported backbone {self.backbone!r}")
         if self.position_embedding not in ("v2", "sine", "v3", "learned"):

@@ -56,6 +56,9 @@ def setup_val_dataloader(config: Config, split: str, tokenizer):
 
 
 def main_val_set(args, config: Config):
+    from retr_tpu.main import apply_device_config
+
+    apply_device_config(config)
     params, config = prepare_model(args, config)
     tokenizer, _, _ = prepare_tokenizer(config.vocab_file)
     loader = setup_val_dataloader(config, args.split, tokenizer)

@@ -27,7 +27,16 @@ from retr_tpu.train.state import TrainState, make_eval_step, make_optimizer, mak
 from retr_tpu.utils.logging import MetricLogger
 
 
+def apply_device_config(config: Config) -> None:
+    """Honor config.device ('tpu'/'cpu' — replaces the reference's 'cuda'/'cpu' knob,
+    configuration_template.py:25). The axon plugin overrides JAX_PLATFORMS, so the
+    explicit config update is required for CPU runs."""
+    if config.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main(config: Config, resume: bool = False) -> None:
+    apply_device_config(config)
     logger = MetricLogger(os.path.join(config.checkpoint_path, "metrics.jsonl"))
     key = jax.random.key(config.seed)
 

@@ -173,3 +173,19 @@ def test_incremental_decode_matches_full():
             np.asarray(inc[:, i]), np.asarray(full[:, i]), atol=2e-5,
             err_msg=f"incremental decode diverges at position {i}",
         )
+
+
+def test_learned_positional_encoding_path():
+    """position_embedding='learned' (reference position_encoding.py:38-63) builds a
+    trainable source-pos table and runs through forward."""
+    cfg = tiny_cfg(position_embedding="learned")
+    params = transformer.init(jax.random.key(7), cfg)
+    assert "src_pos" in params
+    b, s, t = 2, 9, cfg.max_position_embeddings
+    src = jax.random.normal(jax.random.key(8), (b, cfg.hidden_dim, s))
+    mask = jnp.zeros((b, s), bool)
+    tgt = jax.random.randint(jax.random.key(9), (b, t), 0, cfg.vocab_size)
+    out, _ = transformer.forward(
+        params, src, mask, None, None, tgt, jnp.zeros((b, t), bool), cfg
+    )
+    assert out.shape == (b, t, cfg.hidden_dim)
