@@ -39,6 +39,18 @@ class Sample(NamedTuple):
     loc_feats: Optional[np.ndarray] = None
 
 
+def load_image(image_path: str) -> np.ndarray:
+    """Open an image file as an RGB uint8 array (reference load_image,
+    eval_utils/decode.py:13-17, minus the torch transform — feed the result to
+    preprocess_sample)."""
+    from PIL import Image
+
+    with Image.open(image_path) as im:
+        if im.mode != "RGB":
+            im = im.convert("RGB")
+        return np.asarray(im)
+
+
 def crop_image_to_bb(image: np.ndarray, bb, return_context: bool = False):
     """utils.py:161-195 on a [H, W, 3] uint8 array."""
     x, y, w, h = (int(round(float(v))) for v in bb)

@@ -35,6 +35,30 @@ class Masked(NamedTuple):
         return self.mask.shape
 
 
+def batch_images(images) -> Masked:
+    """Pad a list of [3, H, W] arrays to the per-batch max size -> Masked batch.
+
+    Equivalent of the reference's nested_tensor_from_tensor_list
+    (models/utils.py:92-109): zero-pad bottom/right, mask True where padded. The main
+    pipeline never needs this (everything is resized to a static 224² — the shapes a
+    TPU wants); it exists for reference-API completeness and ad-hoc inference on
+    unresized imagery.
+    """
+    import numpy as np
+
+    imgs = [np.asarray(im) for im in images]
+    assert all(im.ndim == 3 for im in imgs), "expected [C, H, W] images"
+    c = imgs[0].shape[0]
+    h = max(im.shape[1] for im in imgs)
+    w = max(im.shape[2] for im in imgs)
+    out = np.zeros((len(imgs), c, h, w), imgs[0].dtype)
+    mask = np.ones((len(imgs), h, w), bool)
+    for i, im in enumerate(imgs):
+        out[i, :, : im.shape[1], : im.shape[2]] = im
+        mask[i, : im.shape[1], : im.shape[2]] = False
+    return Masked(jnp.asarray(out), jnp.asarray(mask))
+
+
 def causal_mask(sz: int, dtype=jnp.float32) -> jax.Array:
     """Additive causal mask: 0 where key <= query, -inf above the diagonal.
 

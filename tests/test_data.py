@@ -160,3 +160,27 @@ def test_device_pipeline(cfg):
     assert -3.0 < x.mean() < 3.0
     eval_batch = pipeline.device_batch(hb, train=False)
     assert eval_batch.images.shape == batch.images.shape
+
+
+def test_batch_images_nested_tensor_equivalent(rng):
+    from retr_tpu.masking import batch_images
+
+    ims = [rng.normal(size=(3, 10, 12)).astype(np.float32),
+           rng.normal(size=(3, 14, 8)).astype(np.float32)]
+    m = batch_images(ims)
+    assert m.tensors.shape == (2, 3, 14, 12)
+    assert m.mask.shape == (2, 14, 12)
+    assert not m.mask[0, :10, :12].any() and m.mask[0, 10:, :].all() and m.mask[0, :, 12:].all()
+    np.testing.assert_array_equal(np.asarray(m.tensors[1, :, :14, :8]), ims[1])
+
+
+def test_load_image(tmp_path, rng):
+    from PIL import Image
+
+    from retr_tpu.data.preprocess import load_image
+
+    arr = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    p = tmp_path / "x.png"
+    Image.fromarray(arr).save(str(p))
+    out = load_image(str(p))
+    np.testing.assert_array_equal(out, arr)
