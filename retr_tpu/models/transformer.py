@@ -362,8 +362,14 @@ def decode_step(
         sp = lp["self_attn"]
         nx = layers.layer_norm(sp["norm"], x)
         qk_in = _with_pos(nx, qpos)
-        q = layers.split_heads(layers.linear(sp["mha"]["q"], qk_in), h)    # [B,H,1,D]
-        k_new = layers.split_heads(layers.linear(sp["mha"]["k"], qk_in), h)
+        # q and k share their input: one fused [E, 2E] matmul (the weight concat is
+        # loop-invariant — XLA hoists it out of the decode while-loop).
+        wqk = jnp.concatenate([sp["mha"]["q"]["w"], sp["mha"]["k"]["w"]], axis=1)
+        bqk = jnp.concatenate([sp["mha"]["q"]["b"], sp["mha"]["k"]["b"]])
+        qk = qk_in @ wqk + bqk
+        e = cfg.hidden_dim
+        q = layers.split_heads(qk[..., :e], h)       # [B,H,1,D]
+        k_new = layers.split_heads(qk[..., e:], h)
         v_new = layers.split_heads(layers.linear(sp["mha"]["v"], nx), h)
         self_k = self_k.at[li, :, :, step, :].set(k_new[:, :, 0, :])
         self_v = self_v.at[li, :, :, step, :].set(v_new[:, :, 0, :])
