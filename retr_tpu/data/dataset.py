@@ -209,14 +209,24 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in batches:
                     if stop.is_set():
-                        break
+                        return
                     samples = list(pool.map(self.dataset.__getitem__, b))
-                    q.put(collate(samples))
-            q.put(None)
+                    if not put(collate(samples)):
+                        return
+            put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -293,12 +293,14 @@ def forward(
 
 
 class DecodeState(NamedTuple):
-    """Per-layer KV caches, [L, B, H, T_max, D]; cross K/V precomputed once."""
+    """Per-layer KV caches as tuples of [B, H, T_max, D] arrays (a tuple per layer
+    keeps each in-loop dynamic-update-slice on a small buffer instead of one stacked
+    [L, ...] array); cross K/V precomputed once."""
 
-    self_k: jax.Array
-    self_v: jax.Array
-    cross_k: jax.Array
-    cross_v: jax.Array
+    self_k: Tuple[jax.Array, ...]
+    self_v: Tuple[jax.Array, ...]
+    cross_k: Tuple[jax.Array, ...]
+    cross_v: Tuple[jax.Array, ...]
     mem_bias: jax.Array  # [B, 1, 1, S]
 
 
@@ -324,10 +326,10 @@ def init_decode_state(
 
     dtype = memory.dtype
     return DecodeState(
-        self_k=jnp.zeros((cfg.dec_layers, b, h, max_len, dh), dtype),
-        self_v=jnp.zeros((cfg.dec_layers, b, h, max_len, dh), dtype),
-        cross_k=jnp.stack(cross_k),
-        cross_v=jnp.stack(cross_v),
+        self_k=tuple(jnp.zeros((b, h, max_len, dh), dtype) for _ in range(cfg.dec_layers)),
+        self_v=tuple(jnp.zeros((b, h, max_len, dh), dtype) for _ in range(cfg.dec_layers)),
+        cross_k=tuple(cross_k),
+        cross_v=tuple(cross_v),
         mem_bias=key_padding_bias(mem_pad_mask),
     )
 
@@ -346,7 +348,7 @@ def decode_step(
     `step` (dropout off): padded positions beyond `step` are excluded here by the
     causal/key-padding bias exactly as tgt_key_padding_mask excludes them there.
     """
-    max_len = state.self_k.shape[3]
+    max_len = state.self_k[0].shape[2]
     x = decoder_embed(params["embeddings"], token_ids[:, None], cfg, position_offset=step[None])
     # x: [B, 1, C]
     qpos = params["embeddings"]["pos"]["table"][step][None, None, :]  # [1, 1, C]
@@ -356,7 +358,7 @@ def decode_step(
     self_bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)  # [1,1,1,T]
 
     h = cfg.nheads
-    self_k, self_v = state.self_k, state.self_v
+    self_k, self_v = list(state.self_k), list(state.self_v)
     for li, lp in enumerate(params["decoder"]["layers"]):
         # -- self-attention over the cache
         sp = lp["self_attn"]
@@ -371,8 +373,8 @@ def decode_step(
         q = layers.split_heads(qk[..., :e], h)       # [B,H,1,D]
         k_new = layers.split_heads(qk[..., e:], h)
         v_new = layers.split_heads(layers.linear(sp["mha"]["v"], nx), h)
-        self_k = self_k.at[li, :, :, step, :].set(k_new[:, :, 0, :])
-        self_v = self_v.at[li, :, :, step, :].set(v_new[:, :, 0, :])
+        self_k[li] = self_k[li].at[:, :, step, :].set(k_new[:, :, 0, :])
+        self_v[li] = self_v[li].at[:, :, step, :].set(v_new[:, :, 0, :])
         out, _ = layers.attention_core(q, self_k[li], self_v[li], self_bias)
         x = x + layers.linear(sp["mha"]["out"], layers.merge_heads(out))
 
@@ -387,4 +389,4 @@ def decode_step(
         x = _ff_block(lp["ff"], x, cfg, key=None, train=False)
 
     x = layers.layer_norm(params["decoder"]["norm"], x)
-    return x[:, 0, :], state._replace(self_k=self_k, self_v=self_v)
+    return x[:, 0, :], state._replace(self_k=tuple(self_k), self_v=tuple(self_v))

@@ -1,0 +1,121 @@
+"""High-level inference API: image + bbox -> referring expression.
+
+The reference exposes inference only through eval scripts and notebook-style helpers
+(eval_utils/decode.py greedy_single/greedy_with_att). This wraps the whole pipeline —
+host preprocessing (crop/pad/PIL-exact resize via the native core), device
+normalization, encode-once KV-cached decode — behind one object suitable for serving:
+
+    pred = Predictor.from_checkpoint("data/models/refcoco/Concat_refcoco_checkpoint_7")
+    pred.predict(image, bbox)                      # -> "the woman in the red coat"
+    pred.predict_batch(images, bboxes, beam=True)  # -> list[str]
+
+Everything after preprocessing is a single compiled program per (batch-size, decoder)
+pair; batches are padded to the configured batch size so the compile cache stays warm.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from retr_tpu import decode as decode_mod
+from retr_tpu.config import Config
+from retr_tpu.data.dataset import collate
+from retr_tpu.data.pipeline import device_batch
+from retr_tpu.data.preprocess import load_image, preprocess_sample
+from retr_tpu.data.tokenizer import prepare_tokenizer
+from retr_tpu.masking import Masked
+
+
+class Predictor:
+    def __init__(self, params, cfg: Config, tokenizer=None, *, max_batch: int = 8):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        if tokenizer is None:
+            tokenizer, _, _ = prepare_tokenizer(cfg.vocab_file)
+        self.tokenizer = tokenizer
+        self.bos = tokenizer.convert_tokens_to_ids(tokenizer.cls_token)
+        self.eos = tokenizer.convert_tokens_to_ids(tokenizer.sep_token)
+        self.pad = tokenizer.convert_tokens_to_ids(tokenizer.pad_token)
+
+    # -- construction ---------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "Predictor":
+        """retr_tpu checkpoint directory (config embedded) or reference .pth."""
+        from retr_tpu.train import checkpoints as ckpt
+
+        if path.endswith(".pth"):
+            cfg = ckpt.override_config_with_reference_filename(Config(), path)
+            params, _ = ckpt.import_reference_checkpoint(path, cfg)
+            return cls(params, cfg, **kw)
+
+        cfg = ckpt.config_from_checkpoint(path)
+        from retr_tpu.models import caption
+        from retr_tpu.train.state import TrainState, make_optimizer
+
+        template, _ = caption.build_model(cfg, jax.random.key(0))
+        tx = make_optimizer(cfg, steps_per_epoch=1)
+        state, _ = ckpt.load_checkpoint(
+            path, TrainState(template, tx.init(template), jax.numpy.int32(0))
+        )
+        return cls(state.params, cfg, **kw)
+
+    # -- inference ------------------------------------------------------------------
+    def predict(self, image, bbox, *, beam: bool = False) -> str:
+        return self.predict_batch([image], [bbox], beam=beam)[0]
+
+    def predict_batch(
+        self, images: Sequence, bboxes: Sequence, *, beam: bool = False
+    ) -> List[str]:
+        """images: file paths or HWC uint8 arrays; bboxes: [x, y, w, h] each."""
+        assert len(images) == len(bboxes)
+        out: List[str] = []
+        for i in range(0, len(images), self.max_batch):
+            out += self._run_chunk(images[i : i + self.max_batch],
+                                   bboxes[i : i + self.max_batch], beam)
+        return out
+
+    def _run_chunk(self, images, bboxes, beam: bool) -> List[str]:
+        samples = []
+        for im, bb in zip(images, bboxes):
+            arr = load_image(im) if isinstance(im, str) else np.asarray(im)
+            samples.append(
+                preprocess_sample(
+                    arr, bb, "", self.tokenizer,
+                    image_size=self.cfg.image_size,
+                    max_length=self.cfg.max_position_embeddings,
+                    use_global=self.cfg.use_global_features,
+                    use_location=self.cfg.use_location_features,
+                )
+            )
+        true_n = len(samples)
+        while len(samples) < self.max_batch:  # static shape -> stable compile cache
+            samples.append(samples[-1])
+        batch = device_batch(collate(samples), train=False)
+
+        imgs = Masked(batch.images, batch.image_masks)
+        g = Masked(batch.global_images, batch.global_masks) if batch.global_images is not None else None
+        common = dict(
+            global_samples=g, loc_feats=batch.loc_feats,
+            max_len=self.cfg.max_position_embeddings,
+            bos_token=self.bos, eos_token=self.eos,
+        )
+        if beam:
+            tokens, _ = decode_mod.beam_search(
+                self.params, self.cfg, imgs,
+                beam_size=self.cfg.beam_size, length_penalty=self.cfg.length_penalty,
+                **common,
+            )
+            ids = tokens[:, 0]
+        else:
+            ids = decode_mod.greedy(self.params, self.cfg, imgs, **common)
+
+        pruned = decode_mod.prune_token_ids(
+            np.asarray(ids)[:true_n].tolist(), clean=True,
+            pad_token=self.pad, bos_token=self.bos, eos_token=self.eos,
+        )
+        return self.tokenizer.batch_decode(pruned)

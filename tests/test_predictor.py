@@ -1,0 +1,67 @@
+"""Predictor API + refcocog annotation naming."""
+
+import numpy as np
+
+import jax
+
+from retr_tpu.config import Config
+from retr_tpu.data.tokenizer import prepare_tokenizer
+from retr_tpu.models import caption
+from retr_tpu.predictor import Predictor
+
+
+def tiny_predictor(**cfg_kw):
+    tok, _, _ = prepare_tokenizer()
+    cfg = Config(
+        backbone="ResNet18", dilation=False, hidden_dim=64, nheads=4, enc_layers=1,
+        dec_layers=1, dim_feedforward=128, vocab_size=tok.vocab_size,
+        max_position_embeddings=12, dropout=0.0, image_size=64, **cfg_kw,
+    )
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    return Predictor(params, cfg, tok, max_batch=2)
+
+
+def test_predict_single_and_batch(rng):
+    pred = tiny_predictor()
+    img = rng.integers(0, 256, (100, 120, 3), dtype=np.uint8)
+    s = pred.predict(img, [10, 10, 50, 40])
+    assert isinstance(s, str)
+    outs = pred.predict_batch([img, img, img], [[10, 10, 50, 40]] * 3)
+    assert len(outs) == 3
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_predict_beam(rng):
+    pred = tiny_predictor(beam_size=2)
+    img = rng.integers(0, 256, (80, 80, 3), dtype=np.uint8)
+    s = pred.predict(img, [5, 5, 40, 40], beam=True)
+    assert isinstance(s, str)
+
+
+def test_predict_loc_variant(rng):
+    pred = tiny_predictor(use_location_features=True)
+    img = rng.integers(0, 256, (90, 70, 3), dtype=np.uint8)
+    s = pred.predict(img, [5, 5, 30, 30])
+    assert isinstance(s, str)
+
+
+def test_refcocog_refs_filename(tmp_path):
+    """refcocog directories read refs(umd).p (data_utils/utils.py:81 semantics)."""
+    import json
+    import pickle
+
+    from retr_tpu.data import annotations as ann_mod
+
+    d = tmp_path / "refcocog"
+    d.mkdir()
+    with open(d / "instances.json", "w") as f:
+        json.dump({"annotations": [{"id": 0, "image_id": 7, "bbox": [1, 2, 3, 4],
+                                    "category_id": 1}]}, f)
+    refs = [{"ann_id": 0, "ref_id": 0, "image_id": 7, "split": "train",
+             "file_name": "COCO_train2014_000000000007_0.jpg",
+             "sentences": [{"sent_id": 0, "sent": "a thing"}]}]
+    with open(d / "refs(umd).p", "wb") as f:
+        pickle.dump(refs, f)
+    rows, ids = ann_mod.get_refcoco_data(str(d))
+    assert rows[0]["caption"] == "a thing"
+    assert ids["caption_ids"]["train"] == [0]

@@ -1,0 +1,116 @@
+"""Full benchmark matrix: all five BASELINE.md configs, measured on the real chip.
+
+Writes BENCH_DETAILS.json. Slower than bench.py (several compiles through the
+device transport) — bench.py stays the quick single-line headline.
+
+  1. single-image greedy latency (eval_model.py single-sample path)
+  2. batch-32 greedy throughput with static padding (the bench.py headline)
+  3. beam search k=5 with length normalization (north-star extension)
+  4. ConcatTransformer dual-stream target+context fusion (CaptionGlobalLoc)
+  5. eval-sweep path: dp-mesh sharded batched greedy (1 chip here; the same jit
+     partitions over a v5e-4 mesh — multi-chip validated on the virtual CPU mesh
+     in tests/test_sweep.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import BATCH, IMAGE, MAX_LEN, flagship_cfg, measure_torch_baseline  # noqa: E402
+
+
+def _timed(fn, reps=3):
+    np.asarray(fn())
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from retr_tpu import decode
+    from retr_tpu.masking import Masked
+    from retr_tpu.models import caption
+
+    results = {}
+    cfg = flagship_cfg()
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    kwargs = dict(max_len=MAX_LEN, bos_token=101, eos_token=cfg.vocab_size + 1)
+
+    def samples_of(b):
+        img = jnp.asarray(rng.normal(size=(b, 3, IMAGE, IMAGE)), jnp.float32)
+        return Masked(img, jnp.zeros((b, IMAGE, IMAGE), dtype=bool))
+
+    # 1: single image latency
+    s1 = samples_of(1)
+    t = _timed(lambda: decode.greedy(params, cfg, s1, **kwargs))
+    results["1_single_image_greedy"] = {"latency_s": t, "captions_per_sec": 1.0 / t}
+
+    # 2: batch-32 greedy
+    s32 = samples_of(BATCH)
+    t = _timed(lambda: decode.greedy(params, cfg, s32, **kwargs))
+    results["2_batch32_greedy"] = {
+        "latency_s_per_batch": t,
+        "captions_per_sec": BATCH / t,
+    }
+
+    # 3: beam search k=5
+    t = _timed(lambda: decode.beam_search(params, cfg, s32, beam_size=5,
+                                          length_penalty=1.0, **kwargs)[0])
+    results["3_beam5_batch32"] = {
+        "latency_s_per_batch": t,
+        "captions_per_sec": BATCH / t,
+    }
+
+    # 4: ConcatTransformer dual-stream (target + 5 loc tokens + context stream)
+    cfg_gl = cfg.replace(use_global_features=True, use_location_features=True)
+    params_gl, _ = caption.build_model(cfg_gl, jax.random.key(1))
+    loc = jnp.asarray(rng.random((BATCH, 5)), jnp.float32)
+    g32 = samples_of(BATCH)
+    t = _timed(lambda: decode.greedy(params_gl, cfg_gl, s32, global_samples=g32,
+                                     loc_feats=loc, **kwargs))
+    results["4_dual_stream_greedy"] = {
+        "latency_s_per_batch": t,
+        "captions_per_sec": BATCH / t,
+    }
+
+    # 5: sweep path on a 1-chip dp mesh (the multi-chip program, n=1 here)
+    from retr_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(dp=len(jax.devices()), mp=1)
+    from retr_tpu.parallel.sweep import shard_batch
+
+    sh = Masked(*shard_batch(tuple(s32), mesh))
+    p_rep = jax.device_put(params, pmesh.replicated(mesh))
+    t = _timed(lambda: decode.greedy(p_rep, cfg, sh, **kwargs))
+    results["5_sweep_dp_mesh"] = {
+        "devices": len(jax.devices()),
+        "latency_s_per_batch": t,
+        "captions_per_sec": BATCH / t,
+    }
+
+    results["reference_cpu_baseline_captions_per_sec"] = measure_torch_baseline()
+    results["device"] = str(jax.devices()[0])
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "BENCH_DETAILS.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
