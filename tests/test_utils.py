@@ -1,0 +1,67 @@
+"""Observability utilities: JSONL logger, phase timer, config round-trips."""
+
+import json
+import time
+
+import pytest
+
+from retr_tpu.config import Config
+from retr_tpu.utils.logging import MetricLogger
+from retr_tpu.utils.profiling import PhaseTimer
+
+
+def test_metric_logger_jsonl(tmp_path):
+    path = tmp_path / "m" / "metrics.jsonl"
+    with MetricLogger(str(path), also_stdout=False) as log:
+        log.log("epoch_end", epoch=0, loss=1.5)
+        log.log("train_step", step=1, loss=1.2)
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) == 2
+    assert lines[0]["event"] == "epoch_end" and lines[0]["loss"] == 1.5
+    assert "t" in lines[0]
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("encode"):
+        time.sleep(0.01)
+    with t.phase("encode"):
+        time.sleep(0.01)
+    with t.phase("decode"):
+        pass
+    s = t.summary()
+    assert s["encode"]["count"] == 2
+    assert s["encode"]["p50_s"] >= 0.009
+    assert "decode" in s
+
+
+def test_config_json_roundtrip():
+    cfg = Config(backbone="ResNet50", hidden_dim=128, use_location_features=True)
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    assert cfg2.head_dim == 128 // cfg2.nheads
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        Config(backbone="VGG16")
+    with pytest.raises(ValueError):
+        Config(hidden_dim=100, nheads=8)
+    with pytest.raises(ValueError):
+        Config(position_embedding="fourier")
+
+
+def test_config_reference_knobs_present():
+    """Every knob from the reference Config (configuration_template.py:4-57) exists."""
+    cfg = Config()
+    for knob in [
+        "prefix", "lr_backbone", "lr", "epochs", "lr_drop", "start_epoch",
+        "weight_decay", "backbone", "position_embedding", "dilation", "device",
+        "seed", "batch_size", "num_workers", "checkpoint", "project_data_path",
+        "checkpoint_path", "clip_max_norm", "early_stopping", "use_global_features",
+        "use_location_features", "verbose", "transformer_type", "hidden_dim",
+        "pad_token_id", "max_position_embeddings", "layer_norm_eps", "dropout",
+        "vocab_size", "enc_layers", "dec_layers", "dim_feedforward", "nheads",
+        "pre_norm", "dir", "ref_base", "ref_dir", "limit",
+    ]:
+        assert hasattr(cfg, knob), knob
