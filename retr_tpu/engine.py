@@ -89,12 +89,18 @@ def eval_model(
     metrics_to_omit: Optional[List[str]] = None,
     print_samples: bool = False,
     decoder: str = "greedy",
+    timer=None,
 ) -> Tuple[Dict[str, float], List[dict]]:
     """Greedy-decode the loader's dataset and score with the NLG suite.
 
     ``decoder='beam'`` swaps in beam search (beam_size/length_penalty from cfg) —
-    a north-star extension; the reference is greedy-only.
+    a north-star extension; the reference is greedy-only. Pass a
+    utils.profiling.PhaseTimer as ``timer`` for input/decode/score phase breakdowns
+    (the expressions/sec + p50 instrumentation the north-star metric needs).
     """
+    from retr_tpu.utils.profiling import PhaseTimer
+
+    timer = timer if timer is not None else PhaseTimer()
     nlgeval = NLGEval(no_skipthoughts=True, no_glove=True, metrics_to_omit=metrics_to_omit or [])
 
     annotations: Dict[int, List[str]] = defaultdict(list)
@@ -110,29 +116,32 @@ def eval_model(
     references: List[List[str]] = []
 
     for host_batch in loader:
-        batch = device_batch(host_batch, train=False)
+        with timer.phase("input"):
+            batch = device_batch(host_batch, train=False)
         samples = Masked(batch.images, batch.image_masks)
         g = Masked(batch.global_images, batch.global_masks) if batch.global_images is not None else None
 
-        if decoder == "greedy":
-            ids = decode_mod.greedy(
-                params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
-                max_len=cfg.max_position_embeddings,
-                bos_token=bos_id, eos_token=eos_id,
-            )
-        elif decoder == "beam":
-            tokens, _ = decode_mod.beam_search(
-                params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
-                max_len=cfg.max_position_embeddings,
-                bos_token=bos_id, eos_token=eos_id,
-                beam_size=cfg.beam_size, length_penalty=cfg.length_penalty,
-            )
-            ids = tokens[:, 0]
-        else:
-            raise ValueError(f"unknown decoder {decoder!r}")
+        with timer.phase("decode"):
+            if decoder == "greedy":
+                ids = decode_mod.greedy(
+                    params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
+                    max_len=cfg.max_position_embeddings,
+                    bos_token=bos_id, eos_token=eos_id,
+                )
+            elif decoder == "beam":
+                tokens, _ = decode_mod.beam_search(
+                    params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
+                    max_len=cfg.max_position_embeddings,
+                    bos_token=bos_id, eos_token=eos_id,
+                    beam_size=cfg.beam_size, length_penalty=cfg.length_penalty,
+                )
+                ids = tokens[:, 0]
+            else:
+                raise ValueError(f"unknown decoder {decoder!r}")
+            ids = np.asarray(ids)  # force completion: fetch is the only real barrier
 
         pruned = decode_mod.prune_token_ids(
-            np.asarray(ids).tolist(), clean=True,
+            ids.tolist(), clean=True,
             pad_token=pad_id, bos_token=bos_id, eos_token=eos_id,
         )
         hyps = tokenizer.batch_decode(pruned)
