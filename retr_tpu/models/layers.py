@@ -79,6 +79,8 @@ def embedding_init(key, num, dim, dtype=jnp.float32) -> Params:
 
 
 def embedding(p: Params, ids: jax.Array) -> jax.Array:
+    """Out-of-range ids produce NaN rows (JAX gather fill semantics) — a loud signal
+    for a tokenizer/vocab_size mismatch, where torch would raise at dispatch."""
     return jnp.take(p["table"], ids, axis=0)
 
 
