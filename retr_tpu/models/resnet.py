@@ -222,16 +222,15 @@ def apply(
     block_type, plan = resnet_structure(name, dilation)
     block_apply = _bottleneck_apply if block_type == "bottleneck" else _basic_apply
 
+    if compute_dtype != jnp.float32:
+        params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
+
     with matmul_precision(compute_dtype):
         x = x.astype(compute_dtype)
-        x = jax.nn.relu(
-            _bn(params["bn1"], _conv(params["conv1"]["w"].astype(compute_dtype), x, stride=2, padding=3))
-        )
+        x = jax.nn.relu(_bn(params["bn1"], _conv(params["conv1"]["w"], x, stride=2, padding=3)))
         x = _max_pool_3x3s2(x)
         for stage in range(4):
             for block_p, (stride, dil, _) in zip(params[f"layer{stage + 1}"], plan[stage]):
-                if compute_dtype != jnp.float32:
-                    block_p = jax.tree.map(lambda a: a.astype(compute_dtype), block_p)
                 x = block_apply(block_p, x, stride, dil)
     return x
 
