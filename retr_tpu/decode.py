@@ -43,7 +43,7 @@ Params = Dict[str, Any]
 class _GreedyCarry(NamedTuple):
     captions: jax.Array   # [B, L] int32 token buffer
     finished: jax.Array   # [B] bool
-    state: transformer.DecodeState
+    cache: transformer.DecodeCache
     step: jax.Array       # scalar int32
 
 
@@ -61,15 +61,18 @@ def greedy_from_memory(
     """Greedy decode given encoder output; returns the [B, max_len] token buffer with
     the reference's exact write/stop semantics."""
     b = memory.shape[0]
-    state = transformer.init_decode_state(params["transformer"], memory, mem_mask, pos, cfg, max_len)
+    cache, cross = transformer.init_decode_state(
+        params["transformer"], memory, mem_mask, pos, cfg, max_len
+    )
     captions = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(bos_token)
 
     def cond(c: _GreedyCarry):
         return jnp.logical_and(c.step < max_len - 1, ~jnp.all(c.finished))
 
     def body(c: _GreedyCarry):
-        hs, state = transformer.decode_step(
-            params["transformer"], c.state, c.captions[:, c.step], c.step, cfg
+        # `cross` (the ~10s-of-MB invariant K/V) is a closure constant, NOT carry.
+        hs, cache = transformer.decode_step(
+            params["transformer"], c.cache, cross, c.captions[:, c.step], c.step, cfg
         )
         logits = caption.mlp_head(params["mlp"], hs)            # [B, V]
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # [B]
@@ -79,9 +82,9 @@ def greedy_from_memory(
         captions = jnp.where(
             write, c.captions.at[:, c.step + 1].set(pred), c.captions
         )
-        return _GreedyCarry(captions, finished, state, c.step + 1)
+        return _GreedyCarry(captions, finished, cache, c.step + 1)
 
-    init = _GreedyCarry(captions, jnp.zeros((b,), bool), state, jnp.int32(0))
+    init = _GreedyCarry(captions, jnp.zeros((b,), bool), cache, jnp.int32(0))
     with matmul_precision(memory.dtype):
         out = jax.lax.while_loop(cond, body, init)
     return out.captions
@@ -121,7 +124,7 @@ class _BeamCarry(NamedTuple):
     tokens: jax.Array       # [B, K, L]
     scores: jax.Array       # [B, K] cumulative log-prob
     finished: jax.Array     # [B, K] bool
-    state: transformer.DecodeState  # caches with leading dim B*K
+    cache: transformer.DecodeCache  # self caches with leading dim B*K
     step: jax.Array
 
 
@@ -162,10 +165,14 @@ def beam_search_from_memory(
     k = beam_size
     neg_inf = jnp.float32(-1e9)
 
-    # tile memory across beams: [B*K, S, C]
+    # tile memory across beams: [B*K, S, C]. The cross K/V computed from it are
+    # IDENTICAL across a batch element's beams, so they are never gathered on beam
+    # reorder — only the self caches are.
     mem_t = jnp.repeat(memory, k, axis=0)
     mask_t = jnp.repeat(mem_mask, k, axis=0)
-    state = transformer.init_decode_state(params["transformer"], mem_t, mask_t, pos, cfg, max_len)
+    cache, cross = transformer.init_decode_state(
+        params["transformer"], mem_t, mask_t, pos, cfg, max_len
+    )
 
     tokens = jnp.zeros((b, k, max_len), jnp.int32).at[:, :, 0].set(bos_token)
     scores = jnp.where(jnp.arange(k)[None, :] == 0, 0.0, neg_inf) * jnp.ones((b, 1))
@@ -178,7 +185,7 @@ def beam_search_from_memory(
 
     def body(cst: _BeamCarry):
         cur = cst.tokens[:, :, cst.step].reshape(b * k)
-        hs, state = transformer.decode_step(params["transformer"], cst.state, cur, cst.step, cfg)
+        hs, cache = transformer.decode_step(params["transformer"], cst.cache, cross, cur, cst.step, cfg)
         logits = caption.mlp_head(params["mlp"], hs).astype(jnp.float32)  # [B*K, V]
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, vocab)
 
@@ -196,10 +203,10 @@ def beam_search_from_memory(
         tokens = tokens.at[:, :, cst.step + 1].set(tok_idx)
         finished = jnp.take_along_axis(cst.finished, beam_idx, axis=1)
         finished = jnp.logical_or(finished, tok_idx == eos_token)
-        state = _gather_beams(state, beam_idx, b, k)
-        return _BeamCarry(tokens, top_scores, finished, state, cst.step + 1)
+        cache = _gather_beams(cache, beam_idx, b, k)
+        return _BeamCarry(tokens, top_scores, finished, cache, cst.step + 1)
 
-    init = _BeamCarry(tokens, scores, finished, state, jnp.int32(0))
+    init = _BeamCarry(tokens, scores, finished, cache, jnp.int32(0))
     with matmul_precision(memory.dtype):
         out = jax.lax.while_loop(cond, body, init)
 

@@ -292,13 +292,21 @@ def forward(
 # ---------------------------------------------------------------------------------
 
 
-class DecodeState(NamedTuple):
-    """Per-layer KV caches as tuples of [B, H, T_max, D] arrays (a tuple per layer
-    keeps each in-loop dynamic-update-slice on a small buffer instead of one stacked
-    [L, ...] array); cross K/V precomputed once."""
+class DecodeCache(NamedTuple):
+    """The MUTABLE half of decode state — per-layer self-attention KV caches as
+    tuples of [B, H, T_max, D] arrays. This is the while-loop carry; everything
+    loop-invariant lives in :class:`CrossContext` and is closed over by the loop
+    body instead (carrying ~77MB of invariant cross-K/V through the carry invites
+    per-iteration copies)."""
 
     self_k: Tuple[jax.Array, ...]
     self_v: Tuple[jax.Array, ...]
+
+
+class CrossContext(NamedTuple):
+    """The IMMUTABLE half: per-layer cross-attention K/V (precomputed once from the
+    encoder memory) and the memory key-padding bias."""
+
     cross_k: Tuple[jax.Array, ...]
     cross_v: Tuple[jax.Array, ...]
     mem_bias: jax.Array  # [B, 1, 1, S]
@@ -311,9 +319,9 @@ def init_decode_state(
     pos: jax.Array,
     cfg: Config,
     max_len: int,
-) -> DecodeState:
+) -> Tuple[DecodeCache, CrossContext]:
     """Precompute cross-attention K/V per decoder layer (memory is fixed), allocate
-    empty self-attention caches with static shape [L, B, H, max_len, D]."""
+    empty self-attention caches with static shapes."""
     b = memory.shape[0]
     h, dh = cfg.nheads, cfg.head_dim
     kp = _with_pos(memory, pos[None, :, :])
@@ -325,22 +333,22 @@ def init_decode_state(
         cross_v.append(layers.split_heads(layers.linear(mha["v"], memory), h))
 
     dtype = memory.dtype
-    return DecodeState(
+    cache = DecodeCache(
         self_k=tuple(jnp.zeros((b, h, max_len, dh), dtype) for _ in range(cfg.dec_layers)),
         self_v=tuple(jnp.zeros((b, h, max_len, dh), dtype) for _ in range(cfg.dec_layers)),
-        cross_k=tuple(cross_k),
-        cross_v=tuple(cross_v),
-        mem_bias=key_padding_bias(mem_pad_mask),
     )
+    cross = CrossContext(tuple(cross_k), tuple(cross_v), key_padding_bias(mem_pad_mask))
+    return cache, cross
 
 
 def decode_step(
     params: Params,
-    state: DecodeState,
+    state: DecodeCache,
+    cross: CrossContext,
     token_ids: jax.Array,  # [B] token at position `step`
     step: jax.Array,       # scalar int32 — current position
     cfg: Config,
-) -> Tuple[jax.Array, DecodeState]:
+) -> Tuple[jax.Array, DecodeCache]:
     """One autoregressive step: embed position `step`, run all decoder layers against
     the KV caches, return the hidden state [B, C] for that position.
 
@@ -382,7 +390,7 @@ def decode_step(
         cp = lp["cross_attn"]
         nq = layers.layer_norm(cp["norm"], x)
         qc = layers.split_heads(layers.linear(cp["mha"]["q"], _with_pos(nq, qpos)), h)
-        outc, _ = layers.attention_core(qc, state.cross_k[li], state.cross_v[li], state.mem_bias)
+        outc, _ = layers.attention_core(qc, cross.cross_k[li], cross.cross_v[li], cross.mem_bias)
         x = x + layers.linear(cp["mha"]["out"], layers.merge_heads(outc))
 
         # -- feed-forward

@@ -155,10 +155,10 @@ def test_incremental_decode_matches_full():
     memory, pos, _ = transformer.encode(params, src, mask, cfg)
 
     # full decode with the reference's greedy-style padding mask at position i:
-    state = transformer.init_decode_state(params, memory, mask, pos, cfg, t)
+    cache, cross = transformer.init_decode_state(params, memory, mask, pos, cfg, t)
     step_outs = []
     for i in range(t):
-        out, state = transformer.decode_step(params, state, tgt[:, i], jnp.int32(i), cfg)
+        out, cache = transformer.decode_step(params, cache, cross, tgt[:, i], jnp.int32(i), cfg)
         step_outs.append(out)
     inc = jnp.stack(step_outs, axis=1)  # [B, T, C]
 
