@@ -84,6 +84,9 @@ class Config:
     # no attention dropout, TPU backend). Default False = the XLA path, which is the
     # bit-parity configuration; benchmarks enable it explicitly.
     use_pallas_attention: bool = False
+    # Use fused Pallas residual-block kernels inside the KV-cached decode step
+    # (ops/decoder_kernels.py). Off by default = XLA parity path.
+    use_pallas_decode: bool = False
     # Beam search (north-star extension; the reference is greedy-only).
     beam_size: int = 5
     length_penalty: float = 1.0          # score / length**length_penalty

@@ -366,6 +366,15 @@ def decode_step(
     self_bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)  # [1,1,1,T]
 
     h = cfg.nheads
+    use_pk = False
+    if cfg.use_pallas_decode:
+        from retr_tpu.ops import decoder_kernels as dk
+
+        use_pk = dk.FORCE_INTERPRET or jax.default_backend() != "cpu"
+        pk_interpret = dk.FORCE_INTERPRET
+        qpos_row = params["embeddings"]["pos"]["table"][step]       # [C]
+        mem_kb = cross.mem_bias[:, 0, 0, :]                          # [B, S]
+
     self_k, self_v = list(state.self_k), list(state.self_v)
     for li, lp in enumerate(params["decoder"]["layers"]):
         # -- self-attention over the cache
@@ -388,13 +397,22 @@ def decode_step(
 
         # -- cross-attention against precomputed memory K/V
         cp = lp["cross_attn"]
-        nq = layers.layer_norm(cp["norm"], x)
-        qc = layers.split_heads(layers.linear(cp["mha"]["q"], _with_pos(nq, qpos)), h)
-        outc, _ = layers.attention_core(qc, cross.cross_k[li], cross.cross_v[li], cross.mem_bias)
-        x = x + layers.linear(cp["mha"]["out"], layers.merge_heads(outc))
+        if use_pk:
+            x = dk.cross_attn_block(
+                cp, x[:, 0, :], qpos_row, cross.cross_k[li], cross.cross_v[li],
+                mem_kb, num_heads=h, interpret=pk_interpret,
+            )[:, None, :]
+        else:
+            nq = layers.layer_norm(cp["norm"], x)
+            qc = layers.split_heads(layers.linear(cp["mha"]["q"], _with_pos(nq, qpos)), h)
+            outc, _ = layers.attention_core(qc, cross.cross_k[li], cross.cross_v[li], cross.mem_bias)
+            x = x + layers.linear(cp["mha"]["out"], layers.merge_heads(outc))
 
         # -- feed-forward
-        x = _ff_block(lp["ff"], x, cfg, key=None, train=False)
+        if use_pk:
+            x = dk.ff_block(lp["ff"], x[:, 0, :], interpret=pk_interpret)[:, None, :]
+        else:
+            x = _ff_block(lp["ff"], x, cfg, key=None, train=False)
 
     x = layers.layer_norm(params["decoder"]["norm"], x)
     return x[:, 0, :], state._replace(self_k=tuple(self_k), self_v=tuple(self_v))

@@ -1,0 +1,80 @@
+"""Fused decode-step kernels vs the XLA path (interpret mode) + e2e equality."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from retr_tpu.config import Config
+from retr_tpu.masking import key_padding_bias
+from retr_tpu.models import layers, transformer
+from retr_tpu.ops import decoder_kernels as dk
+
+
+def test_ff_block_kernel_matches_xla():
+    key = jax.random.key(0)
+    p = {
+        "norm": layers.layer_norm_init(64),
+        "lin1": layers.xavier_linear_init(jax.random.fold_in(key, 1), 64, 128),
+        "lin2": layers.xavier_linear_init(jax.random.fold_in(key, 2), 128, 64),
+    }
+    p["norm"]["scale"] = p["norm"]["scale"] * 1.1 + 0.05
+    x = jax.random.normal(jax.random.fold_in(key, 3), (8, 64))
+
+    ref = x + layers.linear(p["lin2"], jax.nn.relu(layers.linear(p["lin1"], layers.layer_norm(p["norm"], x))))
+    got = dk.ff_block(p, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_cross_attn_block_kernel_matches_xla():
+    key = jax.random.key(1)
+    c, h, s, b = 64, 4, 23, 8
+    p = {"norm": layers.layer_norm_init(c), "mha": layers.mha_init(jax.random.fold_in(key, 0), c)}
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, c))
+    qpos = jax.random.normal(jax.random.fold_in(key, 2), (c,))
+    k = jax.random.normal(jax.random.fold_in(key, 3), (b, h, s, c // h))
+    v = jax.random.normal(jax.random.fold_in(key, 4), (b, h, s, c // h))
+    pad = jax.random.bernoulli(jax.random.fold_in(key, 5), 0.3, (b, s))
+    pad = pad.at[:, 0].set(False)
+    bias4 = key_padding_bias(pad)
+
+    # XLA reference: the cross-attn block from decode_step
+    nq = layers.layer_norm(p["norm"], x[:, None, :])
+    qc = layers.split_heads(layers.linear(p["mha"]["q"], nq + qpos[None, None, :]), h)
+    outc, _ = layers.attention_core(qc, k, v, bias4)
+    ref = x + layers.linear(p["mha"]["out"], layers.merge_heads(outc))[:, 0, :]
+
+    got = dk.cross_attn_block(p, x, qpos, k, v, bias4[:, 0, 0, :], num_heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-6)
+
+
+def test_decode_step_with_kernels_matches_xla_path():
+    cfg_x = Config(
+        backbone="ResNet18", dilation=False, hidden_dim=64, nheads=4, enc_layers=1,
+        dec_layers=2, dim_feedforward=128, vocab_size=96, max_position_embeddings=10,
+        dropout=0.0, image_size=32, use_pallas_decode=False,
+    )
+    cfg_p = cfg_x.replace(use_pallas_decode=True)
+    params = transformer.init(jax.random.key(2), cfg_x)
+
+    b, s, t = 2, 7, cfg_x.max_position_embeddings
+    memory = jax.random.normal(jax.random.key(3), (b, s, cfg_x.hidden_dim))
+    mask = jnp.zeros((b, s), bool).at[:, -1:].set(True)
+    pos = jax.random.normal(jax.random.key(4), (s, cfg_x.hidden_dim))
+    tgt = jax.random.randint(jax.random.key(5), (b, t), 0, cfg_x.vocab_size)
+
+    def run(cfg):
+        cache, cross = transformer.init_decode_state(params, memory, mask, pos, cfg, t)
+        outs = []
+        for i in range(4):
+            out, cache = transformer.decode_step(params, cache, cross, tgt[:, i], jnp.int32(i), cfg)
+            outs.append(out)
+        return jnp.stack(outs)
+
+    ref = run(cfg_x)
+    dk.FORCE_INTERPRET = True
+    try:
+        got = run(cfg_p)
+    finally:
+        dk.FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
