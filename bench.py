@@ -38,7 +38,9 @@ BACKBONE = "ResNet50"  # BASELINE.md config 1 model
 def flagship_cfg():
     from retr_tpu.config import Config
 
-    return Config(backbone=BACKBONE, dilation=True, dropout=0.1)
+    # use_pallas_decode: fused decode-step kernels — verified token-identical to the
+    # XLA parity path on TPU (docs/PERF.md) and ~2x faster per decode step.
+    return Config(backbone=BACKBONE, dilation=True, dropout=0.1, use_pallas_decode=True)
 
 
 def measure_torch_baseline() -> float:

@@ -129,16 +129,26 @@ class _BeamCarry(NamedTuple):
 
 
 def _gather_beams(tree, idx: jax.Array, b: int, k: int):
-    """Reorder the batch*beam leading axis of each cache by per-batch beam index [B, K]."""
+    """Reorder each cache's batch*beam axis by per-batch beam index [B, K].
+
+    Handles both cache layouts: [B*K, H, T, D] (XLA path, axis 0) and head-major
+    [H, B*K, T, D] (Pallas-decode path, axis 1)."""
 
     def g(x):
-        xk = x.reshape((b, k) + x.shape[1:]) if x.shape[0] == b * k else None
-        if xk is None:
-            return x
-        out = jnp.take_along_axis(
-            xk, idx.reshape((b, k) + (1,) * (xk.ndim - 2)), axis=1
-        )
-        return out.reshape((b * k,) + x.shape[1:])
+        if x.shape[0] == b * k:
+            xk = x.reshape((b, k) + x.shape[1:])
+            out = jnp.take_along_axis(
+                xk, idx.reshape((b, k) + (1,) * (xk.ndim - 2)), axis=1
+            )
+            return out.reshape((b * k,) + x.shape[1:])
+        if x.ndim >= 2 and x.shape[1] == b * k:
+            h = x.shape[0]
+            xk = x.reshape((h, b, k) + x.shape[2:])
+            out = jnp.take_along_axis(
+                xk, idx.reshape((1, b, k) + (1,) * (xk.ndim - 3)), axis=2
+            )
+            return out.reshape((h, b * k) + x.shape[2:])
+        return x
 
     return jax.tree.map(g, tree)
 

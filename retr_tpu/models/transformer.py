@@ -333,9 +333,15 @@ def init_decode_state(
         cross_v.append(layers.split_heads(layers.linear(mha["v"], memory), h))
 
     dtype = memory.dtype
+    if cfg.use_pallas_decode:
+        # fused-kernel layout: head-major [H, B, D, T] (T on lanes) so each
+        # grid-over-heads program owns a padding-free (1, B, D, T) cache block.
+        shape = (h, b, dh, max_len)
+    else:
+        shape = (b, h, max_len, dh)
     cache = DecodeCache(
-        self_k=tuple(jnp.zeros((b, h, max_len, dh), dtype) for _ in range(cfg.dec_layers)),
-        self_v=tuple(jnp.zeros((b, h, max_len, dh), dtype) for _ in range(cfg.dec_layers)),
+        self_k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.dec_layers)),
+        self_v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.dec_layers)),
     )
     cross = CrossContext(tuple(cross_k), tuple(cross_v), key_padding_bias(mem_pad_mask))
     return cache, cross
@@ -356,7 +362,7 @@ def decode_step(
     `step` (dropout off): padded positions beyond `step` are excluded here by the
     causal/key-padding bias exactly as tgt_key_padding_mask excludes them there.
     """
-    max_len = state.self_k[0].shape[2]
+    max_len = state.self_k[0].shape[3 if cfg.use_pallas_decode else 2]
     x = decoder_embed(params["embeddings"], token_ids[:, None], cfg, position_offset=step[None])
     # x: [B, 1, C]
     qpos = params["embeddings"]["pos"]["table"][step][None, None, :]  # [1, 1, C]
@@ -379,21 +385,28 @@ def decode_step(
     for li, lp in enumerate(params["decoder"]["layers"]):
         # -- self-attention over the cache
         sp = lp["self_attn"]
-        nx = layers.layer_norm(sp["norm"], x)
-        qk_in = _with_pos(nx, qpos)
-        # q and k share their input: one fused [E, 2E] matmul (the weight concat is
-        # loop-invariant — XLA hoists it out of the decode while-loop).
-        wqk = jnp.concatenate([sp["mha"]["q"]["w"], sp["mha"]["k"]["w"]], axis=1)
-        bqk = jnp.concatenate([sp["mha"]["q"]["b"], sp["mha"]["k"]["b"]])
-        qk = qk_in @ wqk + bqk
-        e = cfg.hidden_dim
-        q = layers.split_heads(qk[..., :e], h)       # [B,H,1,D]
-        k_new = layers.split_heads(qk[..., e:], h)
-        v_new = layers.split_heads(layers.linear(sp["mha"]["v"], nx), h)
-        self_k[li] = self_k[li].at[:, :, step, :].set(k_new[:, :, 0, :])
-        self_v[li] = self_v[li].at[:, :, step, :].set(v_new[:, :, 0, :])
-        out, _ = layers.attention_core(q, self_k[li], self_v[li], self_bias)
-        x = x + layers.linear(sp["mha"]["out"], layers.merge_heads(out))
+        if use_pk:
+            x2d, self_k[li], self_v[li] = dk.self_attn_block(
+                sp, x[:, 0, :], qpos_row, self_k[li], self_v[li], step,
+                num_heads=h, interpret=pk_interpret,
+            )
+            x = x2d[:, None, :]
+        else:
+            nx = layers.layer_norm(sp["norm"], x)
+            qk_in = _with_pos(nx, qpos)
+            # q and k share their input: one fused [E, 2E] matmul (the weight concat
+            # is loop-invariant — XLA hoists it out of the decode while-loop).
+            wqk = jnp.concatenate([sp["mha"]["q"]["w"], sp["mha"]["k"]["w"]], axis=1)
+            bqk = jnp.concatenate([sp["mha"]["q"]["b"], sp["mha"]["k"]["b"]])
+            qk = qk_in @ wqk + bqk
+            e = cfg.hidden_dim
+            q = layers.split_heads(qk[..., :e], h)       # [B,H,1,D]
+            k_new = layers.split_heads(qk[..., e:], h)
+            v_new = layers.split_heads(layers.linear(sp["mha"]["v"], nx), h)
+            self_k[li] = self_k[li].at[:, :, step, :].set(k_new[:, :, 0, :])
+            self_v[li] = self_v[li].at[:, :, step, :].set(v_new[:, :, 0, :])
+            out, _ = layers.attention_core(q, self_k[li], self_v[li], self_bias)
+            x = x + layers.linear(sp["mha"]["out"], layers.merge_heads(out))
 
         # -- cross-attention against precomputed memory K/V
         cp = lp["cross_attn"]

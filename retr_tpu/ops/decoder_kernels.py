@@ -80,32 +80,135 @@ def ff_block(p: Params, x: jax.Array, *, interpret: bool = False) -> jax.Array:
 # ---------------------------------------------------------------------------------
 
 
-def _cross_kernel(x_ref, qpos_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wo_ref, bo_ref,
-                  k_ref, v_ref, bias_ref, o_ref, *, num_heads: int):
-    """x [B, C]; k/v [B, H, S, D]; bias [B, S] additive; out [B, C]."""
+def _cross_kernel(x_ref, qpos_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
+                  k_ref, v_ref, bias_ref, o_ref):
+    """Grid over heads. Blocks: x [B, C]; wq [1, C, D]; bq [1, 1, D];
+    k/v [1, B, D, S] (S on lanes); bias [B, S]; out [1, B, D].
+
+    One program = one head's LN -> q-proj -> attention. The out-projection +
+    residual happen outside (the per-head outputs must be concatenated first).
+    VMEM per program ≈ wq 32KB + K/V 2×B·D·S ≈ 2MB — far under budget, vs 28MB
+    for a whole-array single-program version (D=32 lane padding).
+    """
     x = x_ref[:]
+    d = wq_ref.shape[2]
+
+    nx = _ln(x, lns_ref[:], lnb_ref[:])
+    q = _dot(nx + qpos_ref[:], wq_ref[0]) + bq_ref[0, 0]        # [B, D]
+    q = q * (jnp.float32(d) ** -0.5)
+
+    kh = k_ref[0]                                               # [B, D, S]
+    vh = v_ref[0]                                               # [B, D, S]
+    # scores[b, s] = sum_d q[b, d] * kh[b, d, s]
+    scores = jnp.sum(q[:, :, None] * kh, axis=1) + bias_ref[:]  # [B, S]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jnp.sum(probs[:, None, :] * vh, axis=2).astype(o_ref.dtype)  # [B, D]
+
+
+# ---------------------------------------------------------------------------------
+# Self-attention residual block (single query position, cache update in-kernel)
+# ---------------------------------------------------------------------------------
+
+
+def _self_kernel(step_ref, x_ref, qpos_ref, lns_ref, lnb_ref,
+                 wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                 kc_in, vc_in, kc_out, vc_out, heads_ref):
+    """Grid over heads; scalar-prefetched step. Cache blocks [1, B, D, T] — T on
+    LANES (T=128 is an exact lane tile; D=32 on sublanes has zero padding, where a
+    trailing D would be padded 32→128 and blow the VMEM budget 4×). The position
+    update is an elementwise where() on the lane index; the kernel writes the FULL
+    updated block so correctness does not depend on input/output aliasing."""
+    x = x_ref[:]
+    step = step_ref[0]
+    d = wq_ref.shape[2]
+
+    nx = _ln(x, lns_ref[:], lnb_ref[:])
+    qk_in = nx + qpos_ref[:]
+    q = (_dot(qk_in, wq_ref[0]) + bq_ref[0, 0]) * (jnp.float32(d) ** -0.5)  # [B, D]
+    k_new = _dot(qk_in, wk_ref[0]) + bk_ref[0, 0]
+    v_new = _dot(nx, wv_ref[0]) + bv_ref[0, 0]
+
+    kc = kc_in[0]  # [B, D, T]
+    vc = vc_in[0]
+    t = kc.shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+    is_step = lane == step
+    kc = jnp.where(is_step, k_new[:, :, None], kc)
+    vc = jnp.where(is_step, v_new[:, :, None], vc)
+    kc_out[0] = kc.astype(kc_out.dtype)
+    vc_out[0] = vc.astype(vc_out.dtype)
+
+    scores = jnp.sum(q[:, :, None] * kc, axis=1)             # [B, T]
+    valid = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) <= step
+    scores = jnp.where(valid, scores, -1e30)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    heads_ref[0] = jnp.sum(probs[:, None, :] * vc, axis=2).astype(heads_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def self_attn_block(
+    p: Params,
+    x: jax.Array,          # [B, C]
+    qpos: jax.Array,       # [C]
+    k_cache: jax.Array,    # [H, B, D, T] (pallas-decode layout, T on lanes)
+    v_cache: jax.Array,
+    step: jax.Array,       # scalar int32
+    *,
+    num_heads: int,
+    interpret: bool = False,
+):
+    """Returns (x_out [B, C], k_cache', v_cache')."""
     b, c = x.shape
     h = num_heads
     d = c // h
+    t = k_cache.shape[3]
 
-    nx = _ln(x, lns_ref[:], lnb_ref[:])
-    q = _dot(nx + qpos_ref[:], wq_ref[:]) + bq_ref[:]          # [B, C]
-    scale = jnp.float32(d) ** -0.5
+    def w3(name):
+        return p["mha"][name]["w"].reshape(c, h, d).transpose(1, 0, 2)
 
-    acc = jnp.zeros((b, c), jnp.float32)
-    for hi in range(h):
-        qh = q[:, hi * d : (hi + 1) * d] * scale               # [B, D]
-        kh = k_ref[:, hi, :, :]                                 # [B, S, D]
-        vh = v_ref[:, hi, :, :]
-        # scores[b, s] = sum_d qh[b, d] * kh[b, s, d]  (q length 1 -> VPU reduce)
-        scores = jnp.sum(qh[:, None, :] * kh, axis=-1) + bias_ref[:]   # [B, S]
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        outh = jnp.sum(probs[:, :, None] * vh, axis=1)          # [B, D]
-        acc = acc.at[:, hi * d : (hi + 1) * d].set(outh)
+    def b3(name):
+        return p["mha"][name]["b"].reshape(h, 1, d)
 
-    o_ref[:] = x + (_dot(acc, wo_ref[:]) + bo_ref[:]).astype(x.dtype)
+    # index maps receive (grid indices..., scalar-prefetch refs...) — hi first.
+    full = lambda *shape: pl.BlockSpec(shape, lambda hi, s: (0,) * len(shape), memory_space=pltpu.VMEM)
+    per_head3 = pl.BlockSpec((1, c, d), lambda hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
+    per_bias3 = pl.BlockSpec((1, 1, d), lambda hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
+    cache_spec = pl.BlockSpec((1, b, d, t), lambda hi, s: (hi, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(h,),
+        in_specs=[
+            full(b, c), full(c), full(c), full(c),
+            per_head3, per_bias3, per_head3, per_bias3, per_head3, per_bias3,
+            cache_spec, cache_spec,
+        ],
+        out_specs=[cache_spec, cache_spec,
+                   pl.BlockSpec((1, b, d), lambda hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)],
+    )
+    kc, vc, heads = pl.pallas_call(
+        _self_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((h, b, d), x.dtype),
+        ],
+        input_output_aliases={11: 0, 12: 1},  # cache buffers update in place
+        interpret=interpret,
+    )(
+        jnp.asarray(step, jnp.int32).reshape(1),
+        x, qpos, p["norm"]["scale"], p["norm"]["bias"],
+        w3("q"), b3("q"), w3("k"), b3("k"), w3("v"), b3("v"),
+        k_cache, v_cache,
+    )
+    merged = heads.transpose(1, 0, 2).reshape(b, c)
+    out = merged @ p["mha"]["out"]["w"] + p["mha"]["out"]["b"]
+    return x + out.astype(x.dtype), kc, vc
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -121,17 +224,36 @@ def cross_attn_block(
     interpret: bool = False,
 ) -> jax.Array:
     b, c = x.shape
+    h = num_heads
+    d = c // h
+    s = k.shape[2]
     key_bias = jnp.maximum(key_bias, -1e30)  # finite sentinel like ops.attention
-    return pl.pallas_call(
-        functools.partial(_cross_kernel, num_heads=num_heads),
-        out_shape=jax.ShapeDtypeStruct((b, c), x.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+
+    # lane-friendly layouts: K/V as [H, B, D, S]; per-head weight blocks [H, C, D].
+    kt = k.transpose(1, 0, 3, 2)
+    vt = v.transpose(1, 0, 3, 2)
+    wq = p["mha"]["q"]["w"].reshape(c, h, d).transpose(1, 0, 2)   # [H, C, D]
+    bq = p["mha"]["q"]["b"].reshape(h, 1, d)
+
+    heads = pl.pallas_call(
+        _cross_kernel,
+        grid=(h,),
+        in_specs=[
+            pl.BlockSpec((b, c), lambda hi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda hi: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda hi: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda hi: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, d), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, d, s), lambda hi: (hi, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, d, s), lambda hi: (hi, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, s), lambda hi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b, d), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, b, d), x.dtype),
         interpret=interpret,
-    )(
-        x, qpos,
-        p["norm"]["scale"], p["norm"]["bias"],
-        p["mha"]["q"]["w"], p["mha"]["q"]["b"],
-        p["mha"]["out"]["w"], p["mha"]["out"]["b"],
-        k, v, key_bias,
-    )
+    )(x, qpos, p["norm"]["scale"], p["norm"]["bias"], wq, bq, kt, vt, key_bias)
+
+    merged = heads.transpose(1, 0, 2).reshape(b, c)             # head-major concat
+    out = merged @ p["mha"]["out"]["w"] + p["mha"]["out"]["b"]
+    return x + out.astype(x.dtype)

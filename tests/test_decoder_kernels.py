@@ -78,3 +78,43 @@ def test_decode_step_with_kernels_matches_xla_path():
     finally:
         dk.FORCE_INTERPRET = False
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_self_attn_block_kernel_matches_xla():
+    key = jax.random.key(7)
+    c, h, t, b = 64, 4, 12, 8
+    d = c // h
+    p = {"norm": layers.layer_norm_init(c), "mha": layers.mha_init(jax.random.fold_in(key, 0), c)}
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, c))
+    qpos = jax.random.normal(jax.random.fold_in(key, 2), (c,))
+    # pre-filled caches for positions < step
+    step = 5
+    kc_std = jax.random.normal(jax.random.fold_in(key, 3), (b, h, t, d))
+    vc_std = jax.random.normal(jax.random.fold_in(key, 4), (b, h, t, d))
+    zero_tail = jnp.arange(t)[None, None, :, None] >= step
+    kc_std = jnp.where(zero_tail, 0.0, kc_std)
+    vc_std = jnp.where(zero_tail, 0.0, vc_std)
+
+    # XLA reference (decode_step self-attn branch)
+    from retr_tpu.masking import NEG_INF
+
+    nx = layers.layer_norm(p["norm"], x[:, None, :])
+    qk_in = nx + qpos[None, None, :]
+    q = layers.split_heads(layers.linear(p["mha"]["q"], qk_in), h)
+    k_new = layers.split_heads(layers.linear(p["mha"]["k"], qk_in), h)
+    v_new = layers.split_heads(layers.linear(p["mha"]["v"], nx), h)
+    kc2 = kc_std.at[:, :, step, :].set(k_new[:, :, 0, :])
+    vc2 = vc_std.at[:, :, step, :].set(v_new[:, :, 0, :])
+    bias = jnp.where(jnp.arange(t)[None, None, None, :] <= step, 0.0, NEG_INF)
+    out, _ = layers.attention_core(q, kc2, vc2, bias)
+    ref = x + layers.linear(p["mha"]["out"], layers.merge_heads(out))[:, 0, :]
+
+    # pallas path (head-major [H, B, D, T] cache layout)
+    kc_p = kc_std.transpose(1, 0, 3, 2)
+    vc_p = vc_std.transpose(1, 0, 3, 2)
+    got, kc_o, vc_o = dk.self_attn_block(
+        p, x, qpos, kc_p, vc_p, jnp.int32(step), num_heads=h, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(kc_o), np.asarray(kc2.transpose(1, 0, 3, 2)), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(vc_o), np.asarray(vc2.transpose(1, 0, 3, 2)), atol=3e-6)
