@@ -80,6 +80,10 @@ class Config:
     num_location_features: int = 5
     # Compute dtype for matmul-heavy paths: "float32" for parity, "bfloat16" for speed.
     compute_dtype: str = "float32"
+    # Matmul/conv precision for the f32 backbone: "highest" (6-pass, the parity
+    # default) or "high" (bf16x3, ~2x faster convs; verify token parity on your
+    # checkpoint with tools/parity_check.py before enabling).
+    backbone_precision: str = "highest"
     # Use the fused Pallas attention kernel where eligible (no attention-map output,
     # no attention dropout, TPU backend). Default False = the XLA path, which is the
     # bit-parity configuration; benchmarks enable it explicitly.

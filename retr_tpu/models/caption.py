@@ -72,7 +72,8 @@ def _backbone_features(params: Params, samples: Masked, cfg: Config, compute_dty
     """backbone -> input_proj -> flatten: [B, hidden, HW] features + [B, HW] mask."""
     feats = resnet.backbone_forward(
         params["backbone"], samples, name=cfg.backbone, dilation=cfg.dilation,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, precision=cfg.backbone_precision
+        if cfg.backbone_precision != "highest" else "",
     )
     b, c, h, w = feats.tensors.shape
     x = feats.tensors.reshape(b, c, h * w).swapaxes(1, 2)  # [B, HW, C]
@@ -115,7 +116,8 @@ def build_encoder_input(
 
         g_feats = resnet.backbone_forward(
             params["backbone"], global_samples, name=cfg.backbone, dilation=cfg.dilation,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, precision=cfg.backbone_precision
+            if cfg.backbone_precision != "highest" else "",
         )
         if unmask_key is None:
             unmask_key = jax.random.key(cfg.seed)

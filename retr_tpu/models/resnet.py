@@ -217,15 +217,26 @@ def apply(
     name: str = "ResNet101",
     dilation: bool = True,
     compute_dtype=jnp.float32,
+    precision: str = "",
 ) -> jax.Array:
-    """[B, 3, H, W] image -> [B, C, H/s, W/s] layer4 features (C=2048 for 50/101)."""
+    """[B, 3, H, W] image -> [B, C, H/s, W/s] layer4 features (C=2048 for 50/101).
+
+    ``precision`` overrides the conv precision ("highest"/"high"/"default"); empty
+    picks the compute_dtype's default discipline (see retr_tpu.precision).
+    """
     block_type, plan = resnet_structure(name, dilation)
     block_apply = _bottleneck_apply if block_type == "bottleneck" else _basic_apply
 
     if compute_dtype != jnp.float32:
         params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
 
-    with matmul_precision(compute_dtype):
+
+    ctx = (
+        jax.default_matmul_precision(precision)
+        if precision
+        else matmul_precision(compute_dtype)
+    )
+    with ctx:
         x = x.astype(compute_dtype)
         x = jax.nn.relu(_bn(params["bn1"], _conv(params["conv1"]["w"], x, stride=2, padding=3)))
         x = _max_pool_3x3s2(x)
@@ -242,10 +253,14 @@ def backbone_forward(
     name: str = "ResNet101",
     dilation: bool = True,
     compute_dtype=jnp.float32,
+    precision: str = "",
 ) -> Masked:
     """Reference BackboneBase.forward (models/backbone.py:68-77): features + mask
     downsampled (nearest) to the feature-map size."""
-    feats = apply(params, samples.tensors, name=name, dilation=dilation, compute_dtype=compute_dtype)
+    feats = apply(
+        params, samples.tensors, name=name, dilation=dilation,
+        compute_dtype=compute_dtype, precision=precision,
+    )
     mask = downsample_mask_nearest(samples.mask, feats.shape[-2], feats.shape[-1])
     return Masked(feats, mask)
 

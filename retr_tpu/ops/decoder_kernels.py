@@ -81,14 +81,14 @@ def ff_block(p: Params, x: jax.Array, *, interpret: bool = False) -> jax.Array:
 
 
 def _cross_kernel(x_ref, qpos_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
-                  k_ref, v_ref, bias_ref, o_ref):
-    """Grid over heads. Blocks: x [B, C]; wq [1, C, D]; bq [1, 1, D];
-    k/v [1, B, D, S] (S on lanes); bias [B, S]; out [1, B, D].
+                  wo_ref, bo_ref, k_ref, v_ref, bias_ref, o_ref):
+    """Grid over heads. Blocks: x [B, C]; wq [1, C, D]; bq [1, 1, D]; wo [1, D, C];
+    k/v [1, B, D, S] (S on lanes); bias [B, S]; out [B, C] (accumulated).
 
-    One program = one head's LN -> q-proj -> attention. The out-projection +
-    residual happen outside (the per-head outputs must be concatenated first).
-    VMEM per program ≈ wq 32KB + K/V 2×B·D·S ≈ 2MB — far under budget, vs 28MB
-    for a whole-array single-program version (D=32 lane padding).
+    One program = one head's LN -> q-proj -> attention -> out-proj partial; the
+    residual + partials accumulate into the VMEM-resident output block across the
+    head grid. Per-program VMEM ≈ 2.2MB vs 28MB for a whole-array version
+    (D=32 lane padding).
     """
     x = x_ref[:]
     d = wq_ref.shape[2]
@@ -104,7 +104,18 @@ def _cross_kernel(x_ref, qpos_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0] = jnp.sum(probs[:, None, :] * vh, axis=2).astype(o_ref.dtype)  # [B, D]
+    attn = jnp.sum(probs[:, None, :] * vh, axis=2)              # [B, D]
+
+    hi = pl.program_id(0)
+    part = _dot(attn, wo_ref[0])                                # [B, C]
+
+    @pl.when(hi == 0)
+    def _():
+        o_ref[:] = (x + bo_ref[:] + part).astype(o_ref.dtype)
+
+    @pl.when(hi != 0)
+    def _():
+        o_ref[:] = o_ref[:] + part.astype(o_ref.dtype)
 
 
 # ---------------------------------------------------------------------------------
@@ -114,6 +125,7 @@ def _cross_kernel(x_ref, qpos_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
 
 def _self_kernel(step_ref, x_ref, qpos_ref, lns_ref, lnb_ref,
                  wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                 wo_ref, bo_ref,
                  kc_in, vc_in, kc_out, vc_out, heads_ref):
     """Grid over heads; scalar-prefetched step. Cache blocks [1, B, D, T] — T on
     LANES (T=128 is an exact lane tile; D=32 on sublanes has zero padding, where a
@@ -146,7 +158,20 @@ def _self_kernel(step_ref, x_ref, qpos_ref, lns_ref, lnb_ref,
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    heads_ref[0] = jnp.sum(probs[:, None, :] * vc, axis=2).astype(heads_ref.dtype)
+    attn = jnp.sum(probs[:, None, :] * vc, axis=2)           # [B, D]
+
+    # out-projection folded in: accumulate x + sum_h attn_h @ Wo_h across programs
+    # (the output block is VMEM-resident across the whole head grid).
+    hi = pl.program_id(0)
+    part = _dot(attn, wo_ref[0])                             # [B, C]
+
+    @pl.when(hi == 0)
+    def _():
+        heads_ref[:] = (x + bo_ref[:] + part).astype(heads_ref.dtype)
+
+    @pl.when(hi != 0)
+    def _():
+        heads_ref[:] = heads_ref[:] + part.astype(heads_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -173,10 +198,13 @@ def self_attn_block(
     def b3(name):
         return p["mha"][name]["b"].reshape(h, 1, d)
 
+    wo3 = p["mha"]["out"]["w"].reshape(h, d, c)  # row block h*d:(h+1)*d of Wo
+
     # index maps receive (grid indices..., scalar-prefetch refs...) — hi first.
     full = lambda *shape: pl.BlockSpec(shape, lambda hi, s: (0,) * len(shape), memory_space=pltpu.VMEM)
     per_head3 = pl.BlockSpec((1, c, d), lambda hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
     per_bias3 = pl.BlockSpec((1, 1, d), lambda hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
+    per_out3 = pl.BlockSpec((1, d, c), lambda hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
     cache_spec = pl.BlockSpec((1, b, d, t), lambda hi, s: (hi, 0, 0, 0), memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -185,30 +213,29 @@ def self_attn_block(
         in_specs=[
             full(b, c), full(c), full(c), full(c),
             per_head3, per_bias3, per_head3, per_bias3, per_head3, per_bias3,
+            per_out3, full(c),
             cache_spec, cache_spec,
         ],
-        out_specs=[cache_spec, cache_spec,
-                   pl.BlockSpec((1, b, d), lambda hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=[cache_spec, cache_spec, full(b, c)],
     )
-    kc, vc, heads = pl.pallas_call(
+    kc, vc, out = pl.pallas_call(
         _self_kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-            jax.ShapeDtypeStruct((h, b, d), x.dtype),
+            jax.ShapeDtypeStruct((b, c), x.dtype),
         ],
-        input_output_aliases={11: 0, 12: 1},  # cache buffers update in place
+        input_output_aliases={13: 0, 14: 1},  # cache buffers update in place
         interpret=interpret,
     )(
         jnp.asarray(step, jnp.int32).reshape(1),
         x, qpos, p["norm"]["scale"], p["norm"]["bias"],
         w3("q"), b3("q"), w3("k"), b3("k"), w3("v"), b3("v"),
+        wo3, p["mha"]["out"]["b"],
         k_cache, v_cache,
     )
-    merged = heads.transpose(1, 0, 2).reshape(b, c)
-    out = merged @ p["mha"]["out"]["w"] + p["mha"]["out"]["b"]
-    return x + out.astype(x.dtype), kc, vc
+    return out, kc, vc
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -234,8 +261,9 @@ def cross_attn_block(
     vt = v.transpose(1, 0, 3, 2)
     wq = p["mha"]["q"]["w"].reshape(c, h, d).transpose(1, 0, 2)   # [H, C, D]
     bq = p["mha"]["q"]["b"].reshape(h, 1, d)
+    wo3 = p["mha"]["out"]["w"].reshape(h, d, c)
 
-    heads = pl.pallas_call(
+    return pl.pallas_call(
         _cross_kernel,
         grid=(h,),
         in_specs=[
@@ -245,15 +273,14 @@ def cross_attn_block(
             pl.BlockSpec((c,), lambda hi: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, d), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, d), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, c), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda hi: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, d, s), lambda hi: (hi, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, d, s), lambda hi: (hi, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, s), lambda hi: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, b, d), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, b, d), x.dtype),
+        out_specs=pl.BlockSpec((b, c), lambda hi: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c), x.dtype),
         interpret=interpret,
-    )(x, qpos, p["norm"]["scale"], p["norm"]["bias"], wq, bq, kt, vt, key_bias)
-
-    merged = heads.transpose(1, 0, 2).reshape(b, c)             # head-major concat
-    out = merged @ p["mha"]["out"]["w"] + p["mha"]["out"]["b"]
-    return x + out.astype(x.dtype)
+    )(x, qpos, p["norm"]["scale"], p["norm"]["bias"], wq, bq, wo3,
+      p["mha"]["out"]["b"], kt, vt, key_bias)
