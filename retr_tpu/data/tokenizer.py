@@ -52,7 +52,7 @@ class WordPieceTokenizer:
     PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
 
     def __init__(self, vocab: Dict[str, int], do_lower_case: bool = True,
-                 max_input_chars_per_word: int = 100):
+                 max_input_chars_per_word: int = 100, vocab_path: str = ""):
         self.vocab = dict(vocab)
         self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
         self.do_lower_case = do_lower_case
@@ -61,6 +61,9 @@ class WordPieceTokenizer:
         self.unk_token, self.mask_token = self.UNK, self.MASK
         # HF-compatible private aliases used by the reference (decode.py:8-9)
         self._cls_token, self._sep_token, self._pad_token = self.CLS, self.SEP, self.PAD
+        # C++ fast path (native/tokenizer.cc): lazily attached; ASCII inputs only.
+        self._vocab_path = vocab_path
+        self._native = None  # None = untried, False = unavailable
 
     # -- construction ---------------------------------------------------------------
     @classmethod
@@ -71,7 +74,7 @@ class WordPieceTokenizer:
                 tok = line.rstrip("\n")
                 if tok:
                     vocab[tok] = i
-        return cls(vocab, do_lower_case)
+        return cls(vocab, do_lower_case, vocab_path=path)
 
     @classmethod
     def synthetic(cls, words: Iterable[str], vocab_size: Optional[int] = None) -> "WordPieceTokenizer":
@@ -179,10 +182,46 @@ class WordPieceTokenizer:
             ids = ids[: max_length - 1] + [self.vocab[self.SEP]]
         return ids
 
+    def _native_encoder(self):
+        """Attach the C++ WordPiece core (native/tokenizer.cc) on first use;
+        synthetic vocabs are materialized to a temp vocab file."""
+        if self._native is None:
+            try:
+                from retr_tpu import native
+
+                path = self._vocab_path
+                if not path:
+                    import tempfile
+
+                    fd, path = tempfile.mkstemp(suffix=".vocab.txt")
+                    import os as _os
+
+                    with _os.fdopen(fd, "w", encoding="utf-8") as f:
+                        inv = {i: t for t, i in self.vocab.items()}
+                        for i in range(max(inv) + 1):
+                            f.write(inv.get(i, f"[unused_slot_{i}]") + "\n")
+                    self._vocab_path = path
+                self._native = native.NativeWordPiece(path)
+            except Exception:
+                self._native = False
+        return self._native or None
+
     def encode_plus(self, text: str, max_length: int, padding: str = "max_length",
                     return_attention_mask: bool = True, truncation: bool = True,
                     **_ignored) -> Dict[str, List[int]]:
         """HF-compatible subset used by the reference (refcoco.py:114-120)."""
+        if (
+            padding == "max_length" and truncation and self.do_lower_case
+            and text.isascii()
+        ):
+            nat = self._native_encoder()
+            if nat is not None:
+                ids_arr, n = nat.encode(text, max_length)
+                ids = ids_arr.tolist()
+                out = {"input_ids": ids}
+                if return_attention_mask:
+                    out["attention_mask"] = [1] * min(n, max_length) + [0] * max(0, max_length - n)
+                return out
         ids = self.encode(text, max_length=max_length, truncation=truncation)
         attn = [1] * len(ids)
         if padding == "max_length" and len(ids) < max_length:

@@ -18,16 +18,20 @@ import numpy as np
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "preprocess.cc")
 _LIB = os.path.join(_REPO_ROOT, "native", "libretr_preprocess.so")
+_TOK_SRC = os.path.join(_REPO_ROOT, "native", "tokenizer.cc")
+_TOK_LIB = os.path.join(_REPO_ROOT, "native", "libretr_tokenizer.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_tok_lib: Optional[ctypes.CDLL] = None
+_tok_tried = False
 
 
-def _build() -> bool:
+def _build(src: str = _SRC, lib: str = _LIB) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC, "-lpthread"],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", lib, src, "-lpthread"],
             check=True, capture_output=True, timeout=300,
         )
         return True
@@ -123,3 +127,86 @@ def pad_resize_image_batch(images, out_size: int, n_threads: int = 4) -> np.ndar
     if rc != 0:
         raise RuntimeError(f"retr_pad_resize_batch failed rc={rc}")
     return dst
+
+
+# ---------------------------------------------------------------------------------
+# Native WordPiece tokenizer (native/tokenizer.cc)
+# ---------------------------------------------------------------------------------
+
+
+def load_tokenizer_lib() -> Optional[ctypes.CDLL]:
+    global _tok_lib, _tok_tried
+    with _lock:
+        if _tok_lib is not None or _tok_tried:
+            return _tok_lib
+        _tok_tried = True
+        if not os.path.exists(_TOK_LIB) or os.path.getmtime(_TOK_LIB) < os.path.getmtime(_TOK_SRC):
+            if not os.path.exists(_TOK_SRC) or not _build(_TOK_SRC, _TOK_LIB):
+                return None
+        try:
+            lib = ctypes.CDLL(_TOK_LIB)
+        except OSError:
+            return None
+        lib.retr_tok_create.argtypes = [ctypes.c_char_p]
+        lib.retr_tok_create.restype = ctypes.c_void_p
+        lib.retr_tok_destroy.argtypes = [ctypes.c_void_p]
+        lib.retr_tok_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)
+        ]
+        lib.retr_tok_encode.restype = ctypes.c_int
+        lib.retr_tok_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        lib.retr_tok_encode_batch.restype = ctypes.c_int
+        _tok_lib = lib
+        return _tok_lib
+
+
+class NativeWordPiece:
+    """ctypes handle on the C++ WordPiece encoder (ASCII fast path)."""
+
+    def __init__(self, vocab_path: str):
+        lib = load_tokenizer_lib()
+        if lib is None:
+            raise RuntimeError("native tokenizer library unavailable")
+        self._lib = lib
+        self._handle = lib.retr_tok_create(vocab_path.encode())
+        if not self._handle:
+            raise RuntimeError(f"could not load vocab from {vocab_path}")
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.retr_tok_destroy(self._handle)
+            self._handle = None
+
+    def encode(self, text: str, max_length: int):
+        """Returns (ids padded to max_length as np.int32, true length)."""
+        out = np.empty(max_length, np.int32)
+        n = self._lib.retr_tok_encode(
+            self._handle, text.encode(), max_length,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out, int(n)
+
+    def encode_batch(self, texts, max_length: int, n_threads: int = 4):
+        bufs = [t.encode() + b"\0" for t in texts]
+        blob = b"".join(bufs)
+        offsets = np.zeros(len(texts), np.int64)
+        pos = 0
+        for i, b in enumerate(bufs):
+            offsets[i] = pos
+            pos += len(b)
+        out = np.empty((len(texts), max_length), np.int32)
+        lengths = np.empty(len(texts), np.int32)
+        rc = self._lib.retr_tok_encode_batch(
+            self._handle, blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(texts), max_length,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_threads,
+        )
+        if rc != 0:
+            raise RuntimeError("retr_tok_encode_batch failed")
+        return out, lengths

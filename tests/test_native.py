@@ -47,3 +47,60 @@ def test_pil_agreement(rng):
     ref = np.asarray(padded.resize((64, 64), Image.BILINEAR))
     got = native.pad_resize_image(img, 64)
     np.testing.assert_array_equal(got, ref)
+
+
+# ---------------------------------------------------------------------------------
+# Native WordPiece tokenizer vs the Python spec
+# ---------------------------------------------------------------------------------
+
+
+def test_native_tokenizer_matches_python(rng):
+    from retr_tpu.data.tokenizer import WordPieceTokenizer
+
+    tok = WordPieceTokenizer.synthetic(
+        ["hello", "world", "tokenization", "running", "dog", "red"]
+    )
+    nat = tok._native_encoder()
+    assert nat is not None
+
+    texts = [
+        "Hello, WORLD!",
+        "the RED dog runs... fast?",
+        "tokenization tokenization's",
+        "a b c d e f g h i j k l m n o p",  # truncation case
+        "",
+        "!!!",
+        "word\twith\ttabs and  spaces",
+    ]
+    for text in texts:
+        # python reference path (bypass the native fast path)
+        ids_py = tok.encode(text, max_length=12)
+        ids_py = ids_py + [tok.vocab[tok.PAD]] * (12 - len(ids_py))
+        ids_nat, n = nat.encode(text, 12)
+        assert ids_nat.tolist() == ids_py, text
+
+
+def test_native_tokenizer_batch(rng):
+    from retr_tpu.data.tokenizer import WordPieceTokenizer
+
+    tok = WordPieceTokenizer.synthetic(["alpha", "beta", "gamma"])
+    nat = tok._native_encoder()
+    texts = ["alpha beta", "GAMMA alpha!", "beta"] * 5
+    out, lengths = nat.encode_batch(texts, 10, n_threads=3)
+    for i, t in enumerate(texts):
+        single, n = nat.encode(t, 10)
+        assert out[i].tolist() == single.tolist()
+        assert lengths[i] == n
+
+
+def test_encode_plus_uses_native_and_matches(rng):
+    from retr_tpu.data.tokenizer import WordPieceTokenizer
+
+    tok = WordPieceTokenizer.synthetic(["cat", "sat", "mat"])
+    enc = tok.encode_plus("The cat sat on the mat", max_length=16)
+    # force-python comparison
+    tok2 = WordPieceTokenizer(tok.vocab)
+    tok2._native = False
+    enc2 = tok2.encode_plus("The cat sat on the mat", max_length=16)
+    assert enc["input_ids"] == enc2["input_ids"]
+    assert enc["attention_mask"] == enc2["attention_mask"]

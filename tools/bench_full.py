@@ -102,6 +102,29 @@ def main():
         "captions_per_sec": BATCH / t,
     }
 
+    # 6 (extra): training-step throughput, batch 32, full flagship model
+    from retr_tpu.train import state as tstate
+
+    tx = tstate.make_optimizer(cfg, steps_per_epoch=1000)
+    state = tstate.TrainState(params, tx.init(params), jax.numpy.int32(0))
+    step = tstate.make_train_step(cfg, tx, donate=False)
+    t_cap = cfg.max_position_embeddings + 1
+    caps = jnp.asarray(rng.integers(1, cfg.vocab_size, (BATCH, t_cap)), jnp.int32)
+    batch = tstate.Batch(
+        images=jnp.asarray(rng.normal(size=(BATCH, 3, IMAGE, IMAGE)), jnp.float32),
+        image_masks=jnp.zeros((BATCH, IMAGE, IMAGE), dtype=bool),
+        caps=caps, cap_masks=caps == 0,
+    )
+    key = jax.random.key(0)
+    s2, loss = step(state, batch, key)
+    np.asarray(loss)
+    t = _timed(lambda: step(state, batch, key)[1])
+    results["6_train_step_batch32"] = {
+        "step_s": t,
+        "samples_per_sec": BATCH / t,
+        "loss_finite": bool(np.isfinite(float(loss))),
+    }
+
     results["reference_cpu_baseline_captions_per_sec"] = measure_torch_baseline()
     results["device"] = str(jax.devices()[0])
 
