@@ -292,6 +292,13 @@ def forward(
 # ---------------------------------------------------------------------------------
 
 
+def _pallas_decode_eligible(cfg: Config, batch: int) -> bool:
+    """Fused decode kernels need a sublane-aligned batch; Mosaic rejects the B=1
+    reductions ('unsupported output implicit dimension'). Small batches fall back
+    to the XLA path (which is the parity reference anyway)."""
+    return cfg.use_pallas_decode and batch >= 8
+
+
 class DecodeCache(NamedTuple):
     """The MUTABLE half of decode state — per-layer self-attention KV caches as
     tuples of [B, H, T_max, D] arrays. This is the while-loop carry; everything
@@ -333,7 +340,7 @@ def init_decode_state(
         cross_v.append(layers.split_heads(layers.linear(mha["v"], memory), h))
 
     dtype = memory.dtype
-    if cfg.use_pallas_decode:
+    if _pallas_decode_eligible(cfg, b):
         # fused-kernel layout: head-major [H, B, D, T] (T on lanes) so each
         # grid-over-heads program owns a padding-free (1, B, D, T) cache block.
         shape = (h, b, dh, max_len)
@@ -373,7 +380,7 @@ def decode_step(
 
     h = cfg.nheads
     use_pk = False
-    if cfg.use_pallas_decode:
+    if _pallas_decode_eligible(cfg, token_ids.shape[0]):
         from retr_tpu.ops import decoder_kernels as dk
 
         use_pk = dk.FORCE_INTERPRET or jax.default_backend() != "cpu"
