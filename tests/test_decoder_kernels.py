@@ -118,3 +118,34 @@ def test_self_attn_block_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-6)
     np.testing.assert_allclose(np.asarray(kc_o), np.asarray(kc2.transpose(1, 0, 3, 2)), atol=3e-6)
     np.testing.assert_allclose(np.asarray(vc_o), np.asarray(vc2.transpose(1, 0, 3, 2)), atol=3e-6)
+
+
+def test_beam_with_pallas_layout_matches_xla(rng):
+    """Beam search with the head-major cache layout (pallas path, interpret mode on
+    CPU) must produce the same hypotheses as the XLA path."""
+    import numpy as _np
+
+    from retr_tpu import decode
+    from retr_tpu.masking import Masked
+    from retr_tpu.models import caption
+
+    cfg_x = Config(
+        backbone="ResNet18", dilation=False, hidden_dim=64, nheads=4, enc_layers=1,
+        dec_layers=1, dim_feedforward=128, vocab_size=96, max_position_embeddings=6,
+        dropout=0.0, image_size=32, use_pallas_decode=False,
+    )
+    cfg_p = cfg_x.replace(use_pallas_decode=True)
+    params, _ = caption.build_model(cfg_x, jax.random.key(0))
+    img = jax.random.normal(jax.random.key(1), (4, 3, 32, 32))
+    samples = Masked(img, jnp.zeros((4, 32, 32), bool))
+    kw = dict(max_len=6, bos_token=90, eos_token=91, beam_size=2)
+
+    t_x, s_x = decode.beam_search(params, cfg_x, samples, **kw)
+    dk.FORCE_INTERPRET = True
+    try:
+        # batch*beams = 8 >= 8 -> pallas-eligible
+        t_p, s_p = decode.beam_search(params, cfg_p, samples, **kw)
+    finally:
+        dk.FORCE_INTERPRET = False
+    _np.testing.assert_array_equal(_np.asarray(t_x), _np.asarray(t_p))
+    _np.testing.assert_allclose(_np.asarray(s_x), _np.asarray(s_p), atol=1e-5)
