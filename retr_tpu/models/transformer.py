@@ -369,7 +369,9 @@ def decode_step(
     `step` (dropout off): padded positions beyond `step` are excluded here by the
     causal/key-padding bias exactly as tgt_key_padding_mask excludes them there.
     """
-    max_len = state.self_k[0].shape[3 if cfg.use_pallas_decode else 2]
+    max_len = state.self_k[0].shape[
+        3 if _pallas_decode_eligible(cfg, token_ids.shape[0]) else 2
+    ]
     x = decoder_embed(params["embeddings"], token_ids[:, None], cfg, position_offset=step[None])
     # x: [B, 1, C]
     qpos = params["embeddings"]["pos"]["table"][step][None, None, :]  # [1, 1, C]
