@@ -66,6 +66,12 @@ def greedy_from_memory(
     )
     captions = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(bos_token)
 
+    use_pk_head = False
+    if transformer._pallas_decode_eligible(cfg, b):
+        from retr_tpu.ops import decoder_kernels as dk
+
+        use_pk_head = dk.FORCE_INTERPRET or jax.default_backend() != "cpu"
+
     def cond(c: _GreedyCarry):
         return jnp.logical_and(c.step < max_len - 1, ~jnp.all(c.finished))
 
@@ -74,8 +80,14 @@ def greedy_from_memory(
         hs, cache = transformer.decode_step(
             params["transformer"], c.cache, cross, c.captions[:, c.step], c.step, cfg
         )
-        logits = caption.mlp_head(params["mlp"], hs)            # [B, V]
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # [B]
+        if use_pk_head:
+            from retr_tpu.ops import decoder_kernels as dk
+
+            # fused head+argmax: the [B, V] logits never touch HBM
+            pred = dk.mlp_head_argmax(params["mlp"], hs, interpret=dk.FORCE_INTERPRET)
+        else:
+            logits = caption.mlp_head(params["mlp"], hs)        # [B, V]
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
         finished = jnp.logical_or(pred == eos_token, c.finished)
         # reference decode.py:75-79 — when all just finished, the write is skipped.
         write = ~jnp.all(finished)

@@ -284,3 +284,76 @@ def cross_attn_block(
         interpret=interpret,
     )(x, qpos, p["norm"]["scale"], p["norm"]["bias"], wq, bq, wo3,
       p["mha"]["out"]["b"], kt, vt, key_bias)
+
+
+# ---------------------------------------------------------------------------------
+# Fused MLP head + argmax (greedy decode tail)
+# ---------------------------------------------------------------------------------
+
+
+def _head_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                 mx_ref, idx_ref, *, block_v: int):
+    """Grid over vocab blocks. Each program recomputes the tiny trunk
+    (256->512->512, ~12 MFLOP — cheaper than synchronizing it), evaluates its
+    [B, block_v] logits slab, and emits the slab's (max, first-argmax) per row.
+    The [B, 30522] logits never reach HBM."""
+    gi = pl.program_id(0)
+    x = x_ref[:]
+    h1 = jnp.maximum(_dot(x, w1_ref[:]) + b1_ref[:], 0.0)
+    h2 = jnp.maximum(_dot(h1, w2_ref[:]) + b2_ref[:], 0.0)
+    logits = _dot(h2, w3_ref[:]) + b3_ref[:]               # [B, block_v]
+
+    m = jnp.max(logits, axis=-1, keepdims=True)            # [B, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    first = jnp.min(jnp.where(logits == m, lane, jnp.int32(2**30)), axis=-1, keepdims=True)
+    mx_ref[0] = m.astype(jnp.float32).T                    # [1, B]
+    idx_ref[0] = (first.T + gi * block_v).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mlp_head_argmax(p: Params, x: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """x: [B, C] post-final-norm hidden -> greedy argmax token ids [B].
+
+    Bit-matches argmax(mlp_head(x)): identical contraction shapes per output column
+    and first-index tie-breaking within and across vocab blocks.
+    """
+    b, c = x.shape
+    w1, b1 = p["layers"][0]["w"], p["layers"][0]["b"]
+    w2, b2 = p["layers"][1]["w"], p["layers"][1]["b"]
+    w3, b3 = p["layers"][2]["w"], p["layers"][2]["b"]
+    v = w3.shape[1]
+    block_v = 2048
+    v_pad = ((v + block_v - 1) // block_v) * block_v
+    g = v_pad // block_v
+    if v_pad != v:
+        w3 = jnp.pad(w3, ((0, 0), (0, v_pad - v)))
+        b3 = jnp.pad(b3, (0, v_pad - v), constant_values=-1e30)  # padded vocab never wins
+
+    h = w2.shape[1]
+    mx, idx = pl.pallas_call(
+        functools.partial(_head_kernel, block_v=block_v),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((b, c), lambda gi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, h), lambda gi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,), lambda gi: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda gi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,), lambda gi: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, block_v), lambda gi: (0, gi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_v,), lambda gi: (gi,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, b), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, b), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, 1, b), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, b), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x, w1, b1, w2, b2, w3, b3)
+
+    mx = mx[:, 0, :]                                        # [G, B]
+    idx = idx[:, 0, :]
+    best_block = jnp.argmax(mx, axis=0)                     # first block on ties
+    return jnp.take_along_axis(idx, best_block[None, :], axis=0)[0]

@@ -149,3 +149,43 @@ def test_beam_with_pallas_layout_matches_xla(rng):
         dk.FORCE_INTERPRET = False
     _np.testing.assert_array_equal(_np.asarray(t_x), _np.asarray(t_p))
     _np.testing.assert_allclose(_np.asarray(s_x), _np.asarray(s_p), atol=1e-5)
+
+
+def test_mlp_head_argmax_matches_xla(rng):
+    from retr_tpu.models import layers as L
+
+    key = jax.random.key(11)
+    c = 64
+    p = {
+        "layers": [
+            L.torch_linear_init(jax.random.fold_in(key, 0), c, 96),
+            L.torch_linear_init(jax.random.fold_in(key, 1), 96, 96),
+            L.torch_linear_init(jax.random.fold_in(key, 2), 96, 5000),  # non-2048-multiple vocab
+        ]
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 3), (8, c))
+    from retr_tpu.models.caption import mlp_head
+
+    ref = jnp.argmax(mlp_head(p, x), axis=-1).astype(jnp.int32)
+    got = dk.mlp_head_argmax(p, x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_mlp_head_argmax_tie_breaking():
+    # two identical logit columns: both paths must pick the FIRST index
+    c = 8
+    p = {
+        "layers": [
+            {"w": jnp.eye(c), "b": jnp.zeros(c)},
+            {"w": jnp.eye(c), "b": jnp.zeros(c)},
+            {"w": jnp.concatenate([jnp.ones((c, 2)), jnp.zeros((c, 3000))], axis=1),
+             "b": jnp.zeros(3002)},
+        ]
+    }
+    x = jnp.abs(jax.random.normal(jax.random.key(0), (8, c))) + 0.1
+    from retr_tpu.models.caption import mlp_head
+
+    ref = jnp.argmax(mlp_head(p, x), axis=-1).astype(jnp.int32)
+    got = dk.mlp_head_argmax(p, x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert (np.asarray(got) == 0).all()  # column 0 wins the tie with column 1
