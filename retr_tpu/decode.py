@@ -200,7 +200,7 @@ def beam_search_from_memory(
     scores = jnp.where(jnp.arange(k)[None, :] == 0, 0.0, neg_inf) * jnp.ones((b, 1))
     finished = jnp.zeros((b, k), bool)
 
-    vocab = cfg.vocab_size
+
 
     def cond(cst: _BeamCarry):
         return jnp.logical_and(cst.step < max_len - 1, ~jnp.all(cst.finished))
@@ -209,17 +209,26 @@ def beam_search_from_memory(
         cur = cst.tokens[:, :, cst.step].reshape(b * k)
         hs, cache = transformer.decode_step(params["transformer"], cst.cache, cross, cur, cst.step, cfg)
         logits = caption.mlp_head(params["mlp"], hs).astype(jnp.float32)  # [B*K, V]
-        logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, vocab)
+        logp = jax.nn.log_softmax(logits, axis=-1)
 
-        # finished beams: only EOS continuation, with no score change.
-        eos_onehot = jnp.where(jnp.arange(vocab)[None, None, :] == eos_token, 0.0, neg_inf)
-        logp = jnp.where(cst.finished[:, :, None], eos_onehot, logp)
+        # two-stage top-k: the global k best continuations include at most k per
+        # beam, so take per-beam top-k over the vocab first and combine the [K, K]
+        # shortlist — never materializing the [B, K*V] candidate matrix.
+        row_scores, row_tokens = jax.lax.top_k(logp, k)      # [B*K, K]
+        row_scores = row_scores.reshape(b, k, k)
+        row_tokens = row_tokens.reshape(b, k, k).astype(jnp.int32)
 
-        cand = cst.scores[:, :, None] + logp                 # [B, K, V]
-        flat = cand.reshape(b, k * vocab)
+        # finished beams: single EOS continuation with no score change.
+        fin = cst.finished[:, :, None]
+        first_slot = jnp.arange(k)[None, None, :] == 0
+        row_scores = jnp.where(fin, jnp.where(first_slot, 0.0, neg_inf), row_scores)
+        row_tokens = jnp.where(fin, eos_token, row_tokens)
+
+        cand = cst.scores[:, :, None] + row_scores           # [B, K, K]
+        flat = cand.reshape(b, k * k)
         top_scores, top_idx = jax.lax.top_k(flat, k)         # [B, K]
-        beam_idx = top_idx // vocab
-        tok_idx = (top_idx % vocab).astype(jnp.int32)
+        beam_idx = top_idx // k
+        tok_idx = jnp.take_along_axis(row_tokens.reshape(b, k * k), top_idx, axis=1)
 
         tokens = jnp.take_along_axis(cst.tokens, beam_idx[:, :, None], axis=1)
         tokens = tokens.at[:, :, cst.step + 1].set(tok_idx)
