@@ -120,3 +120,29 @@ def test_dp_mp_sharded_train_step():
     # params keep their shardings through the update
     head_w = state2.params["mlp"]["layers"][2]["w"]
     assert "mp" in str(head_w.sharding.spec)
+
+
+def test_nonfinite_loss_detection():
+    """Failure-detection guard: a poisoned batch must raise NonFiniteLossError
+    (reference NaN hard-exit, engine.py:75-77, as a catchable error)."""
+    from retr_tpu import engine
+
+    cfg = tiny_cfg()
+    tx, step = cached_step(cfg)
+    params0, _ = __import__("retr_tpu.models.caption", fromlist=["x"]).build_model(cfg, jax.random.key(3))
+    state = tstate.TrainState(params0, tx.init(params0), jnp.int32(0))
+    bad = synth_batch(cfg)._replace(images=jnp.full_like(synth_batch(cfg).images, jnp.inf))
+
+    class OneBatchLoader:
+        dataset = None
+
+        def __iter__(self):
+            yield bad
+
+    orig = engine.device_batch  # engine binds the name at import
+    engine.device_batch = lambda hb, **kw: hb  # already a Batch
+    try:
+        with pytest.raises(engine.NonFiniteLossError):
+            engine.train_one_epoch(state, step, OneBatchLoader(), jax.random.key(0))
+    finally:
+        engine.device_batch = orig
