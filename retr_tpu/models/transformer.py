@@ -293,10 +293,10 @@ def forward(
 
 
 def _pallas_decode_eligible(cfg: Config, batch: int) -> bool:
-    """Fused decode kernels need a sublane-aligned batch; Mosaic rejects the B=1
-    reductions ('unsupported output implicit dimension'). Small batches fall back
-    to the XLA path (which is the parity reference anyway)."""
-    return cfg.use_pallas_decode and batch >= 8
+    """Fused decode kernels need a sublane-aligned batch (the kernels block the
+    batch in multiples of 8; Mosaic also rejects B=1 reductions). Other batch sizes
+    fall back to the XLA path (which is the parity reference anyway)."""
+    return cfg.use_pallas_decode and batch >= 8 and batch % 8 == 0
 
 
 class DecodeCache(NamedTuple):

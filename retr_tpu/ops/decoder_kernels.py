@@ -31,6 +31,15 @@ Params = Dict
 FORCE_INTERPRET = False  # test hook: run kernels in interpreter mode on CPU
 
 
+def _batch_block(b: int) -> int:
+    """Largest sublane-aligned batch block ≤32 dividing b; keeps per-program K/V
+    blocks within the 16MB VMEM budget for big batch*beam products."""
+    for bb in (32, 24, 16, 8):
+        if b % bb == 0:
+            return bb
+    raise ValueError(f"batch {b} not divisible by 8 (eligibility should prevent this)")
+
+
 def _ln(x, scale, bias, eps=1e-5):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -106,7 +115,7 @@ def _cross_kernel(x_ref, qpos_ref, lns_ref, lnb_ref, wq_ref, bq_ref,
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
     attn = jnp.sum(probs[:, None, :] * vh, axis=2)              # [B, D]
 
-    hi = pl.program_id(0)
+    hi = pl.program_id(1)  # grid = (batch blocks, heads); heads iterate innermost
     part = _dot(attn, wo_ref[0])                                # [B, C]
 
     @pl.when(hi == 0)
@@ -162,7 +171,7 @@ def _self_kernel(step_ref, x_ref, qpos_ref, lns_ref, lnb_ref,
 
     # out-projection folded in: accumulate x + sum_h attn_h @ Wo_h across programs
     # (the output block is VMEM-resident across the whole head grid).
-    hi = pl.program_id(0)
+    hi = pl.program_id(1)  # grid = (batch blocks, heads); heads iterate innermost
     part = _dot(attn, wo_ref[0])                             # [B, C]
 
     @pl.when(hi == 0)
@@ -200,23 +209,29 @@ def self_attn_block(
 
     wo3 = p["mha"]["out"]["w"].reshape(h, d, c)  # row block h*d:(h+1)*d of Wo
 
-    # index maps receive (grid indices..., scalar-prefetch refs...) — hi first.
-    full = lambda *shape: pl.BlockSpec(shape, lambda hi, s: (0,) * len(shape), memory_space=pltpu.VMEM)
-    per_head3 = pl.BlockSpec((1, c, d), lambda hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
-    per_bias3 = pl.BlockSpec((1, 1, d), lambda hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
-    per_out3 = pl.BlockSpec((1, d, c), lambda hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
-    cache_spec = pl.BlockSpec((1, b, d, t), lambda hi, s: (hi, 0, 0, 0), memory_space=pltpu.VMEM)
+    bb = _batch_block(b)
+    nb = b // bb
+
+    # grid = (batch blocks, heads) — heads innermost so the output accumulation
+    # revisits one VMEM-resident block. Index maps receive (grid indices...,
+    # scalar-prefetch refs...).
+    bcast = lambda *shape: pl.BlockSpec(shape, lambda bi, hi, s: (0,) * len(shape), memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((bb, c), lambda bi, hi, s: (bi, 0), memory_space=pltpu.VMEM)
+    per_head3 = pl.BlockSpec((1, c, d), lambda bi, hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
+    per_bias3 = pl.BlockSpec((1, 1, d), lambda bi, hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
+    per_out3 = pl.BlockSpec((1, d, c), lambda bi, hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
+    cache_spec = pl.BlockSpec((1, bb, d, t), lambda bi, hi, s: (hi, bi, 0, 0), memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(h,),
+        grid=(nb, h),
         in_specs=[
-            full(b, c), full(c), full(c), full(c),
+            x_spec, bcast(c), bcast(c), bcast(c),
             per_head3, per_bias3, per_head3, per_bias3, per_head3, per_bias3,
-            per_out3, full(c),
+            per_out3, bcast(c),
             cache_spec, cache_spec,
         ],
-        out_specs=[cache_spec, cache_spec, full(b, c)],
+        out_specs=[cache_spec, cache_spec, x_spec],
     )
     kc, vc, out = pl.pallas_call(
         _self_kernel,
@@ -263,23 +278,26 @@ def cross_attn_block(
     bq = p["mha"]["q"]["b"].reshape(h, 1, d)
     wo3 = p["mha"]["out"]["w"].reshape(h, d, c)
 
+    bb = _batch_block(b)
+    nb = b // bb
+
     return pl.pallas_call(
         _cross_kernel,
-        grid=(h,),
+        grid=(nb, h),
         in_specs=[
-            pl.BlockSpec((b, c), lambda hi: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda hi: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda hi: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda hi: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, d), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, c), lambda hi: (hi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda hi: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, d, s), lambda hi: (hi, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, d, s), lambda hi: (hi, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, s), lambda hi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, c), lambda bi, hi: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda bi, hi: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda bi, hi: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda bi, hi: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, d), lambda bi, hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda bi, hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, c), lambda bi, hi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda bi, hi: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, d, s), lambda bi, hi: (hi, bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, d, s), lambda bi, hi: (hi, bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, s), lambda bi, hi: (bi, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, c), lambda hi: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, c), lambda bi, hi: (bi, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c), x.dtype),
         interpret=interpret,
     )(x, qpos, p["norm"]["scale"], p["norm"]["bias"], wq, bq, wo3,
