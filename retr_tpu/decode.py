@@ -70,7 +70,7 @@ def greedy_from_memory(
     if transformer._pallas_decode_eligible(cfg, b):
         from retr_tpu.ops import decoder_kernels as dk
 
-        use_pk_head = dk.FORCE_INTERPRET or jax.default_backend() != "cpu"
+        use_pk_head = dk.HEAD_KERNEL and (dk.FORCE_INTERPRET or jax.default_backend() != "cpu")
 
     def cond(c: _GreedyCarry):
         return jnp.logical_and(c.step < max_len - 1, ~jnp.all(c.finished))

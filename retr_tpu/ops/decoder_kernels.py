@@ -29,6 +29,10 @@ from jax.experimental.pallas import tpu as pltpu
 Params = Dict
 
 FORCE_INTERPRET = False  # test hook: run kernels in interpreter mode on CPU
+HEAD_KERNEL = False      # fused head+argmax: measured ~10% SLOWER than XLA's single
+                         # [B,512]x[512,30522] matmul + argmax at B=32 (per-program
+                         # trunk recompute + 15-block grid overhead outweigh the
+                         # saved HBM logits round trip). Kept flag-gated + tested.
 
 
 def _batch_block(b: int) -> int:
