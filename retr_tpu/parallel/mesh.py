@@ -27,9 +27,9 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if dp is None:
         dp = n // mp
-    if dp * mp != n:
-        raise ValueError(f"dp({dp}) * mp({mp}) != device count ({n})")
-    return Mesh(np.asarray(devices).reshape(dp, mp), ("dp", "mp"))
+    if dp * mp > n:
+        raise ValueError(f"dp({dp}) * mp({mp}) exceeds device count ({n})")
+    return Mesh(np.asarray(devices[: dp * mp]).reshape(dp, mp), ("dp", "mp"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

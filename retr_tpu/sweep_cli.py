@@ -1,0 +1,78 @@
+"""Multi-dataset evaluation sweep CLI (BASELINE.md config 5).
+
+Runs the dp-mesh-sharded greedy eval over every requested dataset/split combination:
+
+    python -m retr_tpu.sweep_cli --checkpoint PATH \
+        --datasets refcoco:val,testa,testb refcoco+:val,testa,testb refcocog:val,test \
+        [--dp N] [--config cfg.json] [--out sweep_results.json]
+
+Each prefix's annotations are expected under <ref_base>/<prefix>; splits follow the
+reference's partition names (testa/testb for refcoco/refcoco+, test for refcocog —
+data_utils/refcoco.py:207-220). The reference can only do this one (dataset, split)
+at a time on one device (eval_model.py); here one command covers the matrix with the
+batch sharded over all chips.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+from retr_tpu.config import Config
+from retr_tpu.data import dataset as ds
+from retr_tpu.data.tokenizer import prepare_tokenizer
+from retr_tpu.eval_model import prepare_model
+from retr_tpu.parallel import mesh as pmesh
+from retr_tpu.parallel.sweep import full_eval_sweep
+
+
+def parse_datasets(specs):
+    """['refcoco:val,testa'] -> [('refcoco', 'val'), ('refcoco', 'testa')]"""
+    out = []
+    for spec in specs:
+        prefix, _, splits = spec.partition(":")
+        for split in (splits or "val").split(","):
+            out.append((prefix, split))
+    return out
+
+
+def main(args, config: Config):
+    params, config = prepare_model(args, config)
+    tokenizer, _, _ = prepare_tokenizer(config.vocab_file)
+
+    mesh = pmesh.make_mesh(dp=args.dp or len(jax.devices()), mp=1)
+
+    loaders = {}
+    for prefix, split in parse_datasets(args.datasets):
+        cfg_d = config.replace(prefix=prefix, ref_dir="")  # ref_dir rederived from prefix
+        dataset = ds.build_dataset(cfg_d, split, tokenizer=tokenizer, return_unique=True)
+        loaders[f"{prefix}/{split}"] = ds.DataLoader(
+            dataset, config.batch_size, num_workers=config.num_workers
+        )
+
+    results = full_eval_sweep(params, config, tokenizer, mesh, datasets=loaders)
+    print(json.dumps(results, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+def build_argparser():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--config", default="")
+    ap.add_argument("--datasets", nargs="+", default=["refcoco:val"],
+                    help="prefix:split[,split...] per entry")
+    ap.add_argument("--dp", type=int, default=0, help="dp mesh size (default: all devices)")
+    ap.add_argument("--out", default="", help="write results JSON here")
+    ap.add_argument("--override_config", action="store_true")
+    return ap
+
+
+if __name__ == "__main__":
+    a = build_argparser().parse_args()
+    cfg = Config.from_json(open(a.config).read()) if a.config else Config()
+    main(a, cfg)

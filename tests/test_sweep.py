@@ -91,3 +91,33 @@ def test_greedy_with_attention_helper():
     assert ids.shape == (1, 8)
     assert set(atts) == {"enc_tc_self_att", "dec_exp_self_att", "dec_exp_tc_cross_att"}
     assert atts["dec_exp_self_att"].shape[0] == cfg.dec_layers
+
+
+def test_sweep_cli_end_to_end(tmp_path):
+    """Train a checkpoint on the fixture, then run the sweep CLI against it."""
+    import jax
+
+    from retr_tpu import sweep_cli
+    from retr_tpu.train import checkpoints as ckpt
+    from retr_tpu.train.state import TrainState, make_optimizer
+
+    cfg, tok = make_env(tmp_path)
+    cfg = cfg.replace(
+        project_data_path=str(tmp_path / "data"), checkpoint_path="",
+        ref_base=str(tmp_path / "refs"),  # synth layout: <root>/refs/refcoco
+        prefix="refcoco",
+    )
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    tx = make_optimizer(cfg, 10)
+    state = TrainState(params, tx.init(params), jax.numpy.int32(0))
+    path = ckpt.save_checkpoint(cfg.checkpoint_path, state, cfg, epoch=0)
+
+    args = sweep_cli.build_argparser().parse_args(
+        ["--checkpoint", path, "--datasets", "refcoco:train", "--dp", "4",
+         "--out", str(tmp_path / "sweep.json"), "--override_config"]
+    )
+    results = sweep_cli.main(args, cfg)
+    assert "refcoco/train" in results and "CIDEr" in results["refcoco/train"]
+    import json as _json
+
+    assert "refcoco/train" in _json.load(open(tmp_path / "sweep.json"))
