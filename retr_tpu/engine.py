@@ -28,11 +28,11 @@ import numpy as np
 
 from retr_tpu import decode as decode_mod
 from retr_tpu.config import Config
-from retr_tpu.data.dataset import DataLoader, HostBatch
+from retr_tpu.data.dataset import DataLoader
 from retr_tpu.data.pipeline import device_batch
 from retr_tpu.masking import Masked
 from retr_tpu.metrics import NLGEval
-from retr_tpu.train.state import Batch, TrainState, make_eval_step
+from retr_tpu.train.state import TrainState, make_eval_step
 from retr_tpu.utils.logging import MetricLogger
 
 

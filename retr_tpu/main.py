@@ -12,7 +12,6 @@ Run:  python -m retr_tpu.main [--config path.json] [--resume]
 from __future__ import annotations
 
 import argparse
-import json
 import os
 
 import jax

@@ -30,7 +30,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30  # finite sentinel: -inf breaks the max-subtract when a row is all-masked
 

@@ -15,7 +15,7 @@ pair; batches are padded to the configured batch size so the compile cache stays
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -24,8 +24,6 @@ import os
 import re
 from typing import Any, Dict, Optional, Tuple
 
-import jax
-
 from retr_tpu.config import Config
 from retr_tpu.train.state import TrainState
 

@@ -22,7 +22,6 @@ is dp-sharded and gradients are reduced by XLA collectives — no hand-written N
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
