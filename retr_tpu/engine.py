@@ -40,6 +40,31 @@ class NonFiniteLossError(RuntimeError):
     """Raised when a training batch produces a non-finite loss (engine.py:75-77)."""
 
 
+def pack_encoder_inputs(encoder_input, global_features: bool, location_features: bool):
+    """Reference-compatible batch packing (engine.py:20-48): a flat tuple of arrays
+    becomes the model's (samples, global_samples, loc_feats) triple of Masked pairs.
+
+    The main pipeline uses data.pipeline.device_batch instead (one fused jit); this
+    exists for users porting reference code that calls pack_encoder_inputs directly.
+    """
+    import jax.numpy as jnp
+
+    def masked(img, mask):
+        return Masked(jnp.asarray(img), jnp.asarray(mask))
+
+    if not global_features and not location_features:
+        t_img, t_mask = encoder_input
+        return masked(t_img, t_mask), None, None
+    if global_features and not location_features:
+        t_img, t_mask, g_img, g_mask = encoder_input
+        return masked(t_img, t_mask), masked(g_img, g_mask), None
+    if not global_features and location_features:
+        t_img, t_mask, l_feats = encoder_input
+        return masked(t_img, t_mask), None, jnp.asarray(l_feats)
+    t_img, t_mask, g_img, g_mask, l_feats = encoder_input
+    return masked(t_img, t_mask), masked(g_img, g_mask), jnp.asarray(l_feats)
+
+
 def train_one_epoch(
     state: TrainState,
     step_fn,

@@ -65,3 +65,23 @@ def test_config_reference_knobs_present():
         "pre_norm", "dir", "ref_base", "ref_dir", "limit",
     ]:
         assert hasattr(cfg, knob), knob
+
+
+def test_pack_encoder_inputs_matrix(rng=None):
+    """Reference engine.pack_encoder_inputs semantics across the flag matrix."""
+    import numpy as np
+
+    from retr_tpu.engine import pack_encoder_inputs
+
+    img = np.zeros((2, 3, 8, 8), np.float32)
+    mask = np.zeros((2, 8, 8), bool)
+    loc = np.zeros((2, 5), np.float32)
+
+    s, g, l = pack_encoder_inputs((img, mask), False, False)
+    assert g is None and l is None and s.tensors.shape == img.shape
+    s, g, l = pack_encoder_inputs((img, mask, img, mask), True, False)
+    assert g is not None and l is None
+    s, g, l = pack_encoder_inputs((img, mask, loc), False, True)
+    assert g is None and l.shape == (2, 5)
+    s, g, l = pack_encoder_inputs((img, mask, img, mask, loc), True, True)
+    assert g is not None and l is not None
