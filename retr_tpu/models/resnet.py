@@ -283,7 +283,7 @@ def import_torch_state_dict(
         return fold_bn(get(f"{k}.weight"), get(f"{k}.bias"), get(f"{k}.running_mean"), get(f"{k}.running_var"))
 
     block_type, plan = resnet_structure(name, dilation)
-    params: Params = {"conv1": {"w": jnp.asarray(get("conv1.weight"))}, "bn1": bn("bn1")}
+    params: Params = {"conv1": {"w": jnp.array(get("conv1.weight"), copy=True)}, "bn1": bn("bn1")}
     n_convs = 3 if block_type == "bottleneck" else 2
     for stage in range(4):
         blocks = []
@@ -291,11 +291,11 @@ def import_torch_state_dict(
             base = f"layer{stage + 1}.{bi}"
             bp: Params = {}
             for ci in range(1, n_convs + 1):
-                bp[f"conv{ci}"] = {"w": jnp.asarray(get(f"{base}.conv{ci}.weight"))}
+                bp[f"conv{ci}"] = {"w": jnp.array(get(f"{base}.conv{ci}.weight"), copy=True)}
                 bp[f"bn{ci}"] = bn(f"{base}.bn{ci}")
             if has_ds:
                 bp["downsample"] = {
-                    "conv": {"w": jnp.asarray(get(f"{base}.downsample.0.weight"))},
+                    "conv": {"w": jnp.array(get(f"{base}.downsample.0.weight"), copy=True)},
                     "bn": bn(f"{base}.downsample.1"),
                 }
             blocks.append(bp)

@@ -28,17 +28,24 @@ from retr_tpu.models import resnet
 Params = Dict[str, Any]
 
 
+def _arr(x) -> jnp.ndarray:
+    """Copy into a fresh device array. jnp.asarray can zero-copy ALIAS the numpy
+    buffer on CPU — and torch's .numpy() views share storage with the live module,
+    so a later optimizer.step() would silently mutate the 'imported' params."""
+    return jnp.array(np.asarray(x), copy=True)
+
+
 def _lin(state: Mapping[str, np.ndarray], name: str) -> Params:
     return {
-        "w": jnp.asarray(np.asarray(state[f"{name}.weight"]).T),
-        "b": jnp.asarray(np.asarray(state[f"{name}.bias"])),
+        "w": _arr(np.asarray(state[f"{name}.weight"]).T),
+        "b": _arr(state[f"{name}.bias"]),
     }
 
 
 def _norm(state: Mapping[str, np.ndarray], name: str) -> Params:
     return {
-        "scale": jnp.asarray(np.asarray(state[f"{name}.weight"])),
-        "bias": jnp.asarray(np.asarray(state[f"{name}.bias"])),
+        "scale": _arr(state[f"{name}.weight"]),
+        "bias": _arr(state[f"{name}.bias"]),
     }
 
 
@@ -47,9 +54,9 @@ def _mha(state: Mapping[str, np.ndarray], name: str) -> Params:
     b = np.asarray(state[f"{name}.in_proj_bias"])    # [3E]
     e = w.shape[1]
     return {
-        "q": {"w": jnp.asarray(w[:e].T), "b": jnp.asarray(b[:e])},
-        "k": {"w": jnp.asarray(w[e : 2 * e].T), "b": jnp.asarray(b[e : 2 * e])},
-        "v": {"w": jnp.asarray(w[2 * e :].T), "b": jnp.asarray(b[2 * e :])},
+        "q": {"w": _arr(w[:e].T), "b": _arr(b[:e])},
+        "k": {"w": _arr(w[e : 2 * e].T), "b": _arr(b[e : 2 * e])},
+        "v": {"w": _arr(w[2 * e :].T), "b": _arr(b[2 * e :])},
         "out": _lin(state, f"{name}.out_proj"),
     }
 
@@ -89,8 +96,8 @@ def import_transformer(state: Mapping[str, np.ndarray], cfg: Config, prefix="tra
             "norm": _norm(state, f"{prefix}decoder.norm"),
         },
         "embeddings": {
-            "word": {"table": jnp.asarray(np.asarray(state[f"{prefix}embeddings.word_embeddings.weight"]))},
-            "pos": {"table": jnp.asarray(np.asarray(state[f"{prefix}embeddings.position_embeddings.weight"]))},
+            "word": {"table": _arr(state[f"{prefix}embeddings.word_embeddings.weight"])},
+            "pos": {"table": _arr(state[f"{prefix}embeddings.position_embeddings.weight"])},
             "norm": _norm(state, f"{prefix}embeddings.LayerNorm"),
         },
     }
@@ -107,8 +114,8 @@ def import_caption_model(state: Mapping[str, np.ndarray], cfg: Config) -> Params
             state, cfg.backbone, cfg.dilation, prefix="backbone.body."
         ),
         "input_proj": {
-            "w": jnp.asarray(conv_w[:, :, 0, 0].T),
-            "b": jnp.asarray(np.asarray(state["input_proj.bias"])),
+            "w": _arr(conv_w[:, :, 0, 0].T),
+            "b": _arr(state["input_proj.bias"]),
         },
         "transformer": import_transformer(state, cfg),
         "mlp": {"layers": [_lin(state, f"mlp.layers.{i}") for i in range(3)]},
