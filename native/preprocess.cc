@@ -30,10 +30,14 @@ inline long round_half_even(double x) {
 }
 
 struct Coeffs {
-  // dense [out, in_padded] int64 quantized coefficients (triangle, normalized)
+  // sparse per-output-pixel support windows (PIL-style): bounds[o] = {xmin, count},
+  // k packed at o*kmax. Only ~2*scale taps per output pixel are nonzero.
   std::vector<int64_t> k;
-  int in_size;
-  int out_size;
+  std::vector<int> xmin;
+  std::vector<int> count;
+  int kmax = 0;
+  int in_size = 0;
+  int out_size = 0;
 };
 
 // PIL precompute_coeffs for BILINEAR (support=1), quantized like Pillow 8bpc.
@@ -41,29 +45,35 @@ Coeffs pil_coeffs(int in_size, int out_size) {
   Coeffs c;
   c.in_size = in_size;
   c.out_size = out_size;
-  c.k.assign(static_cast<size_t>(out_size) * in_size, 0);
   const double scale = static_cast<double>(in_size) / out_size;
   const double filterscale = std::max(scale, 1.0);
   const double support = 1.0 * filterscale;
   const double inv = 1.0 / filterscale;
-  std::vector<double> w(in_size);
+  c.kmax = static_cast<int>(std::ceil(support)) * 2 + 1;
+  c.k.assign(static_cast<size_t>(out_size) * c.kmax, 0);
+  c.xmin.resize(out_size);
+  c.count.resize(out_size);
+  std::vector<double> w(c.kmax);
   for (int xx = 0; xx < out_size; ++xx) {
     const double center = (xx + 0.5) * scale;
     int xmin = std::max(static_cast<int>(center - support + 0.5), 0);
     int xmax = std::min(static_cast<int>(center + support + 0.5), in_size);
+    int n = xmax - xmin;
     double ssum = 0.0;
-    for (int x = xmin; x < xmax; ++x) {
-      double v = 1.0 - std::fabs((x - center + 0.5) * inv);
+    for (int i = 0; i < n; ++i) {
+      double v = 1.0 - std::fabs((xmin + i - center + 0.5) * inv);
       if (v < 0.0) v = 0.0;
-      w[x] = v;
+      w[i] = v;
       ssum += v;
     }
-    for (int x = xmin; x < xmax; ++x) {
-      double kk = (ssum != 0.0) ? (w[x] / ssum) : 0.0;
+    int64_t* krow = c.k.data() + static_cast<size_t>(xx) * c.kmax;
+    for (int i = 0; i < n; ++i) {
+      double kk = (ssum != 0.0) ? (w[i] / ssum) : 0.0;
       double scaled = kk * (1 << kPrecisionBits);
-      c.k[static_cast<size_t>(xx) * in_size + x] =
-          static_cast<int64_t>(scaled < 0 ? scaled - 0.5 : scaled + 0.5);
+      krow[i] = static_cast<int64_t>(scaled < 0 ? scaled - 0.5 : scaled + 0.5);
     }
+    c.xmin[xx] = xmin;
+    c.count[xx] = n;
   }
   return c;
 }
@@ -76,7 +86,7 @@ inline uint8_t clip8(int64_t acc) {
 }
 
 // Resize a uint8 HWC image (already square, side m) to out x out, PIL-exact:
-// horizontal pass then vertical pass with per-pass rounding.
+// horizontal pass then vertical pass with per-pass rounding, support-window loops.
 void pil_resize_square(const uint8_t* img, int m, int channels, int out,
                        uint8_t* dst) {
   Coeffs cw = pil_coeffs(m, out);
@@ -86,29 +96,30 @@ void pil_resize_square(const uint8_t* img, int m, int channels, int out,
   for (int y = 0; y < m; ++y) {
     const uint8_t* row = img + static_cast<size_t>(y) * m * channels;
     for (int ox = 0; ox < out; ++ox) {
-      const int64_t* krow = cw.k.data() + static_cast<size_t>(ox) * m;
+      const int64_t* krow = cw.k.data() + static_cast<size_t>(ox) * cw.kmax;
+      const uint8_t* src = row + static_cast<size_t>(cw.xmin[ox]) * channels;
+      const int n = cw.count[ox];
       for (int ch = 0; ch < channels; ++ch) {
         int64_t acc = half;
-        for (int x = 0; x < m; ++x) {
-          int64_t kv = krow[x];
-          if (kv != 0) acc += kv * row[static_cast<size_t>(x) * channels + ch];
-        }
+        for (int i = 0; i < n; ++i)
+          acc += krow[i] * src[static_cast<size_t>(i) * channels + ch];
         tmp[(static_cast<size_t>(y) * out + ox) * channels + ch] = clip8(acc);
       }
     }
   }
   // vertical: [out, out, C]
+  const size_t row_stride = static_cast<size_t>(out) * channels;
   for (int oy = 0; oy < out; ++oy) {
-    const int64_t* krow = cw.k.data() + static_cast<size_t>(oy) * m;
+    const int64_t* krow = cw.k.data() + static_cast<size_t>(oy) * cw.kmax;
+    const uint8_t* base = tmp.data() + static_cast<size_t>(cw.xmin[oy]) * row_stride;
+    const int n = cw.count[oy];
     for (int ox = 0; ox < out; ++ox) {
       for (int ch = 0; ch < channels; ++ch) {
         int64_t acc = half;
-        for (int y = 0; y < m; ++y) {
-          int64_t kv = krow[y];
-          if (kv != 0)
-            acc += kv * tmp[(static_cast<size_t>(y) * out + ox) * channels + ch];
-        }
-        dst[(static_cast<size_t>(oy) * out + ox) * channels + ch] = clip8(acc);
+        const size_t off = static_cast<size_t>(ox) * channels + ch;
+        for (int i = 0; i < n; ++i)
+          acc += krow[i] * base[static_cast<size_t>(i) * row_stride + off];
+        dst[static_cast<size_t>(oy) * row_stride + off] = clip8(acc);
       }
     }
   }
