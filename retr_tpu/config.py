@@ -99,6 +99,12 @@ class Config:
     # Mesh axes for the multi-chip path: data-parallel x model-parallel.
     dp_size: int = 1
     mp_size: int = 1
+    # Apply the deterministic all-masked guard to the TARGET stream as well as the
+    # context stream. The reference guards only the context (caption.py:144) and
+    # NaN-crashes if a target map is fully padded (possible at tiny feature maps);
+    # the guard is a no-op whenever at least one target patch is visible, so it
+    # never affects parity on valid data.
+    guard_all_masked_target: bool = True
 
     checkpoint_path: str = ""
     # single-file checkpoint name knob kept for parity (configuration_template.py:29;

@@ -75,6 +75,10 @@ def _backbone_features(params: Params, samples: Masked, cfg: Config, compute_dty
         compute_dtype=compute_dtype, precision=cfg.backbone_precision
         if cfg.backbone_precision != "highest" else "",
     )
+    if cfg.guard_all_masked_target:
+        feats = feats._replace(
+            mask=ensure_unmasked_values(feats.mask, jax.random.key(cfg.seed))
+        )
     b, c, h, w = feats.tensors.shape
     x = feats.tensors.reshape(b, c, h * w).swapaxes(1, 2)  # [B, HW, C]
     with matmul_precision(compute_dtype):
