@@ -136,3 +136,52 @@ def test_override_config_filename_sniffing():
     assert c2.use_location_features and c2.use_global_features
     c3 = ckpt.override_config_with_reference_filename(cfg, "/x/Concat_refcoco_checkpoint_3.pth")
     assert not c3.use_location_features and not c3.use_global_features
+
+
+def test_deterministic_resume(env, tmp_path):
+    """Step-exact resume: save mid-training, continue, and the continued losses are
+    bit-identical to an uninterrupted run (deterministic recovery, SURVEY.md §5)."""
+    import jax.numpy as jnp
+
+    from retr_tpu.train.state import Batch
+
+    cfg, tok = env
+    rng = np.random.default_rng(7)
+    t = cfg.max_position_embeddings + 1
+    caps = rng.integers(3, min(200, cfg.vocab_size), (2, t)).astype(np.int32)
+    caps[:, 0] = 101
+    batch = Batch(
+        images=jnp.asarray(rng.normal(size=(2, 3, cfg.image_size, cfg.image_size)), jnp.float32),
+        image_masks=jnp.zeros((2, cfg.image_size, cfg.image_size), bool),
+        caps=jnp.asarray(caps),
+        cap_masks=jnp.asarray(caps == 0),
+    )
+
+    from retr_tpu.models import caption as cap_mod
+    from retr_tpu.train.state import TrainState, make_optimizer, make_train_step
+
+    params, _ = cap_mod.build_model(cfg, jax.random.key(5))
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    step = make_train_step(cfg, tx, donate=False)
+    key = jax.random.key(9)
+
+    # uninterrupted: 4 steps
+    s = TrainState(params, tx.init(params), jnp.int32(0))
+    losses_a = []
+    for _ in range(4):
+        s, l = step(s, batch, key)
+        losses_a.append(float(l))
+
+    # interrupted: 2 steps, save, restore, 2 more
+    s2 = TrainState(params, tx.init(params), jnp.int32(0))
+    for _ in range(2):
+        s2, _ = step(s2, batch, key)
+    path = ckpt.save_checkpoint(str(tmp_path / "ckpt"), s2, cfg, epoch=0)
+    template = TrainState(params, tx.init(params), jnp.int32(0))
+    s3, _ = ckpt.load_checkpoint(path, template)
+    losses_b = []
+    for _ in range(2):
+        s3, l = step(s3, batch, key)
+        losses_b.append(float(l))
+
+    assert losses_a[2:] == losses_b, (losses_a, losses_b)
