@@ -127,8 +127,18 @@ def param_specs(params: dict) -> dict:
 
 
 def param_shardings(params: dict, mesh: Mesh) -> Any:
+    """NamedShardings from param_specs, dropping any spec whose dimension does not
+    divide the mesh axis (e.g. an odd test vocab over mp=2) back to replicated."""
+
+    def fit(param, spec: P) -> NamedSharding:
+        ok = all(
+            axis is None or param.shape[dim] % mesh.shape[axis] == 0
+            for dim, axis in enumerate(spec)
+        )
+        return NamedSharding(mesh, spec if ok else P())
+
     return jax.tree.map(
-        lambda s: NamedSharding(mesh, s), param_specs(params),
+        fit, params, param_specs(params),
         is_leaf=lambda x: isinstance(x, P),
     )
 

@@ -121,3 +121,22 @@ def test_sweep_cli_end_to_end(tmp_path):
     import json as _json
 
     assert "refcoco/train" in _json.load(open(tmp_path / "sweep.json"))
+
+
+def test_greedy_under_tensor_parallel_mesh(tmp_path):
+    """Greedy decode with mp-sharded params (vocab head + FFN + attention heads split
+    over the mp axis) must equal the replicated run — the XLA partitioner inserts the
+    collectives inside the decode while-loop."""
+    cfg, tok = make_env(tmp_path)
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    img = jax.random.normal(jax.random.key(3), (8, 3, cfg.image_size, cfg.image_size))
+    samples = Masked(img, jnp.zeros((8, cfg.image_size, cfg.image_size), bool))
+    kw = dict(max_len=cfg.max_position_embeddings, bos_token=101, eos_token=102)
+
+    ref = np.asarray(decode.greedy(params, cfg, samples, **kw))
+
+    mesh = pmesh.make_mesh(dp=4, mp=2)
+    sharded = pmesh.shard_params(params, mesh)
+    sh_samples = Masked(*sweep.shard_batch(tuple(samples), mesh))
+    got = np.asarray(decode.greedy(sharded, cfg, sh_samples, **kw))
+    np.testing.assert_array_equal(got, ref)
