@@ -392,6 +392,15 @@ def decode_step(
 
     self_k, self_v = list(state.self_k), list(state.self_v)
     for li, lp in enumerate(params["decoder"]["layers"]):
+        if use_pk and dk.MERGED_LAYER:
+            # whole layer (self + cross + FF) in one Pallas program
+            x2d, self_k[li], self_v[li] = dk.fused_layer_step(
+                lp, x[:, 0, :], qpos_row, self_k[li], self_v[li],
+                cross.cross_k[li], cross.cross_v[li], mem_kb, step,
+                num_heads=h, interpret=pk_interpret,
+            )
+            x = x2d[:, None, :]
+            continue
         # -- self-attention over the cache
         sp = lp["self_attn"]
         if use_pk:

@@ -379,3 +379,206 @@ def mlp_head_argmax(p: Params, x: jax.Array, *, interpret: bool = False) -> jax.
     idx = idx[:, 0, :]
     best_block = jnp.argmax(mx, axis=0)                     # first block on ties
     return jnp.take_along_axis(idx, best_block[None, :], axis=0)[0]
+
+
+# ---------------------------------------------------------------------------------
+# Whole-layer fused step: self-attn + cross-attn + FF in ONE program per layer.
+# Grid = (batch blocks, 2H+1 phases): phases 0..H-1 self heads, H..2H-1 cross heads,
+# 2H the FF tail. Two VMEM scratch accumulators carry the intermediate residuals
+# across phases (scratch persists across grid iterations on TPU).
+# ---------------------------------------------------------------------------------
+
+MERGED_LAYER = False  # measured on TPU: the 17-phase merged program is ~4-9ms/batch
+                      # SLOWER than the three split kernels (phase serialization beats
+                      # the saved launches). Kept flag-gated + tested as groundwork.
+
+
+def _layer_kernel(step_ref, x_ref, qpos_ref,
+                  ln1s, ln1b, ln2s, ln2b, ln3s, ln3b,
+                  swq, sbq, swk, sbk, swv, sbv, swo, sbo,
+                  cwq, cbq, cwo, cbo,
+                  kc_in, vc_in, ck_ref, cv_ref, bias_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref,
+                  kc_out, vc_out, y_ref,
+                  a1_ref, a2_ref, *, num_heads: int):
+    h = num_heads
+    hi = pl.program_id(1)
+    step = step_ref[0]
+    x = x_ref[:]
+    d = swq.shape[2]
+    scale = jnp.float32(d) ** -0.5
+
+    @pl.when(hi < h)
+    def _self_phase():
+        nx = _ln(x, ln1s[:], ln1b[:])
+        qk_in = nx + qpos_ref[:]
+        q = (_dot(qk_in, swq[0]) + sbq[0, 0]) * scale
+        k_new = _dot(qk_in, swk[0]) + sbk[0, 0]
+        v_new = _dot(nx, swv[0]) + sbv[0, 0]
+
+        kc = kc_in[0]  # [bb, D, T]
+        vc = vc_in[0]
+        t = kc.shape[2]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+        kc = jnp.where(lane == step, k_new[:, :, None], kc)
+        vc = jnp.where(lane == step, v_new[:, :, None], vc)
+        kc_out[0] = kc.astype(kc_out.dtype)
+        vc_out[0] = vc.astype(vc_out.dtype)
+
+        scores = jnp.sum(q[:, :, None] * kc, axis=1)
+        valid = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) <= step
+        scores = jnp.where(valid, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        attn = jnp.sum(probs[:, None, :] * vc, axis=2)
+        part = _dot(attn, swo[0])
+
+        @pl.when(hi == 0)
+        def _():
+            a1_ref[:] = x.astype(jnp.float32) + sbo[:] + part
+
+        @pl.when(hi != 0)
+        def _():
+            a1_ref[:] = a1_ref[:] + part
+
+    @pl.when(jnp.logical_and(hi >= h, hi < 2 * h))
+    def _cross_phase():
+        x1 = a1_ref[:]
+        nq = _ln(x1, ln2s[:], ln2b[:])
+        q = (_dot(nq + qpos_ref[:], cwq[0]) + cbq[0, 0]) * scale
+        kh = ck_ref[0]  # [bb, D, S]
+        vh = cv_ref[0]
+        scores = jnp.sum(q[:, :, None] * kh, axis=1) + bias_ref[:]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        attn = jnp.sum(probs[:, None, :] * vh, axis=2)
+        part = _dot(attn, cwo[0])
+
+        @pl.when(hi == h)
+        def _():
+            a2_ref[:] = x1 + cbo[:] + part
+
+        @pl.when(hi != h)
+        def _():
+            a2_ref[:] = a2_ref[:] + part
+
+    @pl.when(hi == 2 * h)
+    def _ff_phase():
+        x2 = a2_ref[:]
+        nx = _ln(x2, ln3s[:], ln3b[:])
+        hmid = jnp.maximum(_dot(nx, w1_ref[:]) + b1_ref[:], 0.0)
+        y = x2 + _dot(hmid, w2_ref[:]) + b2_ref[:]
+        y_ref[:] = y.astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_layer_step(
+    lp: Params,            # one decoder layer's params (self_attn/cross_attn/ff)
+    x: jax.Array,          # [B, C]
+    qpos: jax.Array,       # [C]
+    k_cache: jax.Array,    # [H, B, D, T]
+    v_cache: jax.Array,
+    cross_k: jax.Array,    # [B, H, S, D] (XLA layout; transposed here, LICM-hoisted)
+    cross_v: jax.Array,
+    key_bias: jax.Array,   # [B, S]
+    step: jax.Array,
+    *,
+    num_heads: int,
+    interpret: bool = False,
+):
+    """Returns (x_out [B, C], k_cache', v_cache')."""
+    b, c = x.shape
+    h = num_heads
+    d = c // h
+    t = k_cache.shape[3]
+    s = cross_k.shape[2]
+    cross_k = cross_k.transpose(1, 0, 3, 2)  # -> [H, B, D, S]
+    cross_v = cross_v.transpose(1, 0, 3, 2)
+    key_bias = jnp.maximum(key_bias, -1e30)
+
+    bb = _batch_block(b)
+    nb = b // bb
+
+    sp, cp, fp = lp["self_attn"], lp["cross_attn"], lp["ff"]
+
+    def w3(p, name):
+        return p["mha"][name]["w"].reshape(c, h, d).transpose(1, 0, 2)
+
+    def b3(p, name):
+        return p["mha"][name]["b"].reshape(h, 1, d)
+
+    swo3 = sp["mha"]["out"]["w"].reshape(h, d, c)
+    cwo3 = cp["mha"]["out"]["w"].reshape(h, d, c)
+
+    # phase-clamped index helpers (index maps get (bi, hi, step_ref))
+    self_h = lambda bi, hi, st: (jnp.minimum(hi, h - 1), 0, 0)
+    cross_h = lambda bi, hi, st: (jnp.clip(hi - h, 0, h - 1), 0, 0)
+    self_cache = lambda bi, hi, st: (jnp.minimum(hi, h - 1), bi, 0, 0)
+    cross_cache = lambda bi, hi, st: (jnp.clip(hi - h, 0, h - 1), bi, 0, 0)
+    at_b = lambda bi, hi, st: (bi, 0)
+    fixed = lambda *shape: pl.BlockSpec(shape, lambda bi, hi, st: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, 2 * h + 1),
+        in_specs=[
+            pl.BlockSpec((bb, c), at_b, memory_space=pltpu.VMEM),   # x
+            fixed(c),                                                # qpos
+            fixed(c), fixed(c), fixed(c), fixed(c), fixed(c), fixed(c),  # ln1/2/3
+            pl.BlockSpec((1, c, d), self_h, memory_space=pltpu.VMEM),   # swq
+            pl.BlockSpec((1, 1, d), self_h, memory_space=pltpu.VMEM),   # sbq
+            pl.BlockSpec((1, c, d), self_h, memory_space=pltpu.VMEM),   # swk
+            pl.BlockSpec((1, 1, d), self_h, memory_space=pltpu.VMEM),   # sbk
+            pl.BlockSpec((1, c, d), self_h, memory_space=pltpu.VMEM),   # swv
+            pl.BlockSpec((1, 1, d), self_h, memory_space=pltpu.VMEM),   # sbv
+            pl.BlockSpec((1, d, c), self_h, memory_space=pltpu.VMEM),   # swo
+            fixed(c),                                                    # sbo
+            pl.BlockSpec((1, c, d), cross_h, memory_space=pltpu.VMEM),  # cwq
+            pl.BlockSpec((1, 1, d), cross_h, memory_space=pltpu.VMEM),  # cbq
+            pl.BlockSpec((1, d, c), cross_h, memory_space=pltpu.VMEM),  # cwo
+            fixed(c),                                                    # cbo
+            pl.BlockSpec((1, bb, d, t), self_cache, memory_space=pltpu.VMEM),   # kc in
+            pl.BlockSpec((1, bb, d, t), self_cache, memory_space=pltpu.VMEM),   # vc in
+            pl.BlockSpec((1, bb, d, s), cross_cache, memory_space=pltpu.VMEM),  # ck
+            pl.BlockSpec((1, bb, d, s), cross_cache, memory_space=pltpu.VMEM),  # cv
+            pl.BlockSpec((bb, s), at_b, memory_space=pltpu.VMEM),               # bias
+            fixed(c, w3 and fp["lin1"]["w"].shape[1]),                           # w1
+            fixed(fp["lin1"]["w"].shape[1]),                                     # b1
+            pl.BlockSpec((fp["lin2"]["w"].shape[0], c), lambda bi, hi, st: (0, 0), memory_space=pltpu.VMEM),  # w2
+            fixed(c),                                                            # b2
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bb, d, t), self_cache, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, d, t), self_cache, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, c), at_b, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, c), jnp.float32),
+            pltpu.VMEM((bb, c), jnp.float32),
+        ],
+    )
+    kc, vc, y = pl.pallas_call(
+        functools.partial(_layer_kernel, num_heads=h),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((b, c), x.dtype),
+        ],
+        input_output_aliases={21: 0, 22: 1},
+        interpret=interpret,
+    )(
+        jnp.asarray(step, jnp.int32).reshape(1),
+        x, qpos,
+        sp["norm"]["scale"], sp["norm"]["bias"],
+        cp["norm"]["scale"], cp["norm"]["bias"],
+        fp["norm"]["scale"], fp["norm"]["bias"],
+        w3(sp, "q"), b3(sp, "q"), w3(sp, "k"), b3(sp, "k"), w3(sp, "v"), b3(sp, "v"),
+        swo3, sp["mha"]["out"]["b"],
+        w3(cp, "q"), b3(cp, "q"), cwo3, cp["mha"]["out"]["b"],
+        k_cache, v_cache, cross_k, cross_v, key_bias,
+        fp["lin1"]["w"], fp["lin1"]["b"], fp["lin2"]["w"], fp["lin2"]["b"],
+    )
+    return y, kc, vc

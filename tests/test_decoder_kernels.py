@@ -189,3 +189,44 @@ def test_mlp_head_argmax_tie_breaking():
     got = dk.mlp_head_argmax(p, x, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     assert (np.asarray(got) == 0).all()  # column 0 wins the tie with column 1
+
+
+def test_fused_layer_step_matches_split_kernels():
+    """Whole-layer fused kernel == the three-kernel path == the XLA path, in
+    interpret mode."""
+    cfg_x = Config(
+        backbone="ResNet18", dilation=False, hidden_dim=64, nheads=4, enc_layers=1,
+        dec_layers=2, dim_feedforward=128, vocab_size=96, max_position_embeddings=16,
+        dropout=0.0, image_size=32, use_pallas_decode=False,
+    )
+    cfg_p = cfg_x.replace(use_pallas_decode=True)
+    params = transformer.init(jax.random.key(21), cfg_x)
+
+    b, s, t = 16, 9, cfg_x.max_position_embeddings
+    memory = jax.random.normal(jax.random.key(22), (b, s, cfg_x.hidden_dim))
+    mask = jnp.zeros((b, s), bool).at[:, -1:].set(True)
+    pos = jax.random.normal(jax.random.key(23), (s, cfg_x.hidden_dim))
+    tgt = jax.random.randint(jax.random.key(24), (b, t), 0, cfg_x.vocab_size)
+
+    def run(cfg, merged):
+        old = dk.MERGED_LAYER
+        dk.MERGED_LAYER = merged
+        try:
+            cache, cross = transformer.init_decode_state(params, memory, mask, pos, cfg, t)
+            outs = []
+            for i in range(5):
+                out, cache = transformer.decode_step(params, cache, cross, tgt[:, i], jnp.int32(i), cfg)
+                outs.append(out)
+            return jnp.stack(outs)
+        finally:
+            dk.MERGED_LAYER = old
+
+    ref = run(cfg_x, False)
+    dk.FORCE_INTERPRET = True
+    try:
+        split = run(cfg_p, False)
+        merged = run(cfg_p, True)
+    finally:
+        dk.FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(split), np.asarray(ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(ref), atol=3e-5)
