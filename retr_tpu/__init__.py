@@ -28,3 +28,28 @@ RefCOCO/RefCOCO+/RefCOCOg) as an idiomatic JAX framework:
 __version__ = "0.1.0"
 
 from retr_tpu.config import Config  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import retr_tpu` light)."""
+    if name == "Predictor":
+        from retr_tpu.predictor import Predictor
+
+        return Predictor
+    if name == "build_model":
+        from retr_tpu.models.caption import build_model
+
+        return build_model
+    if name in ("greedy", "beam_search", "greedy_decoding"):
+        from retr_tpu import decode as _d
+
+        return getattr(_d, name)
+    if name == "NLGEval":
+        from retr_tpu.metrics import NLGEval
+
+        return NLGEval
+    if name == "Masked":
+        from retr_tpu.masking import Masked
+
+        return Masked
+    raise AttributeError(f"module 'retr_tpu' has no attribute {name!r}")
