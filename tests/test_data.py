@@ -184,3 +184,40 @@ def test_load_image(tmp_path, rng):
     Image.fromarray(arr).save(str(p))
     out = load_image(str(p))
     np.testing.assert_array_equal(out, arr)
+
+
+def test_tokenizer_fuzz_parity_vs_hf(rng):
+    """Randomized ASCII fuzzing: our WordPiece (python AND native paths) must match
+    HF's BertTokenizer on the same vocab for tokenize/encode."""
+    import os as _os
+    import random
+    import string
+    import tempfile
+
+    from transformers import BertTokenizer
+
+    words = ["red", "dog", "running", "tokenizer", "chair", "on", "the", "a"]
+    tok = WordPieceTokenizer.synthetic(words)
+    with tempfile.TemporaryDirectory() as d:
+        path = _os.path.join(d, "vocab.txt")
+        inv = {i: t for t, i in tok.vocab.items()}
+        with open(path, "w") as f:
+            for i in range(max(inv) + 1):
+                f.write(inv.get(i, f"[unused_fill_{i}]") + "\n")
+        hf = BertTokenizer(path, do_lower_case=True)
+
+        r = random.Random(0)
+        alphabet = string.ascii_letters + string.digits + ".,!?'- ()" + "  "
+        for _ in range(200):
+            n = r.randint(0, 40)
+            text = "".join(r.choice(alphabet) for _ in range(n))
+            assert tok.tokenize(text) == hf.tokenize(text), repr(text)
+            ours = tok.encode(text, max_length=12)
+            theirs = hf.encode(text, max_length=12, truncation=True)
+            assert ours == theirs, repr(text)
+            # native fast path agrees with the python path
+            nat = tok._native_encoder()
+            if nat is not None and text.isascii():
+                ids_nat, _ = nat.encode(text, 12)
+                padded = ours + [0] * (12 - len(ours))
+                assert ids_nat.tolist() == padded, repr(text)
