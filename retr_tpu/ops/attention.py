@@ -44,6 +44,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float, causal: 
         q.astype(jnp.float32) * scale, k.astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # greedy-parity discipline for f32
     )  # [block_q, Sk]
 
     scores = scores + bias_ref[pl.program_id(0), :][None, :]
@@ -61,6 +62,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float, causal: 
         probs.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
