@@ -1,9 +1,20 @@
 """Corpus BLEU-1..4, pycocoevalcap-compatible (the scorer nlgeval wraps).
 
 Matches the algorithm used by the reference's metric stack (engine.py:135-137,184-185
-via the Maluuba nlg-eval submodule): corpus-level clipped n-gram precision with the
-tiny/small smoothing constants, geometric mean over orders, and brevity penalty from
-the per-segment 'closest' reference length (first-wins tie-break, like the scorer).
+via the Maluuba nlg-eval submodule), i.e. pycocoevalcap's BleuScorer with
+option='closest' exactly:
+
+  - per-segment effective reference length = the reference length closest to the
+    hypothesis length, ties broken toward the SHORTER reference (upstream computes
+    ``min((abs(l - testlen), l) for l in reflens)[1]``, so equidistant lengths
+    resolve by the second tuple element);
+  - corpus totals of clipped n-gram matches with tiny=1e-15 / small=1e-9 smoothing
+    and a progressive product over orders;
+  - brevity penalty exp(1 - 1/ratio) applied to every order when
+    ratio = (testlen + tiny) / (reflen + small) < 1.
+
+Differentially tested against a transcription of the upstream scorer in
+tests/pycoco_oracle.py (tests/test_metrics_oracle.py).
 """
 
 from __future__ import annotations
@@ -18,12 +29,8 @@ def _ngrams(words: Sequence[str], n: int) -> Counter:
 
 
 def _closest_reflen(reflens: List[int], testlen: int) -> int:
-    best, best_diff = None, None
-    for rl in reflens:
-        diff = abs(rl - testlen)
-        if best_diff is None or diff < best_diff:
-            best, best_diff = rl, diff
-    return best
+    # pycocoevalcap bleu_scorer.py: min((abs(l-testlen), l)) — tie -> shorter ref.
+    return min((abs(rl - testlen), rl) for rl in reflens)[1]
 
 
 def corpus_bleu(
@@ -37,8 +44,8 @@ def corpus_bleu(
     assert len(references) == len(hypotheses)
     correct = [0] * max_n
     guess = [0] * max_n
-    testlen_total = 0
-    reflen_total = 0
+    testlen_total = 0.0
+    reflen_total = 0.0
 
     for refs, hyp in zip(references, hypotheses):
         hyp_words = hyp.split()
@@ -60,8 +67,9 @@ def corpus_bleu(
     score = 1.0
     for n in range(max_n):
         score *= (correct[n] + tiny) / (guess[n] + small)
-        bleu_n = score ** (1.0 / (n + 1))
-        if testlen_total < reflen_total:  # brevity penalty on corpus totals
-            bleu_n *= math.exp(1 - reflen_total / (testlen_total + tiny))
-        bleus.append(bleu_n)
+        bleus.append(score ** (1.0 / (n + 1)))
+    ratio = (testlen_total + tiny) / (reflen_total + small)
+    if ratio < 1:
+        bp = math.exp(1 - 1 / ratio)
+        bleus = [b * bp for b in bleus]
     return bleus, []

@@ -4,6 +4,12 @@ The variant nlgeval computes for the reference's per-epoch early-stopping signal
 (main.py:85-87, engine.py:184-185): tf-idf 1-4-gram vectors with corpus document
 frequency over the reference sets, min-clipped cosine similarity, Gaussian length
 penalty (sigma=6), averaged over orders and references, scaled by 10.
+
+Matches pycocoevalcap's cider_scorer.py exactly, including the upstream quirk
+that the sentence "length" used by the Gaussian penalty is the total BIGRAM term
+frequency (its counts2vec accumulates ``if n == 1`` where n = len(ngram)-1), not
+the word count. Differentially tested against a transcription of the upstream
+scorer in tests/pycoco_oracle.py (tests/test_metrics_oracle.py).
 """
 
 from __future__ import annotations
@@ -49,7 +55,7 @@ class CiderScorer:
                     df = math.log(max(doc_freq[ng], 1.0))
                     vec[n_idx][ng] = float(tf) * (ref_len - df)
                     norm[n_idx] += vec[n_idx][ng] ** 2
-                    if n_idx == 0:
+                    if n_idx == 1:  # upstream quirk: length = bigram tf total
                         length += tf
                 norm[n_idx] = math.sqrt(norm[n_idx])
             return vec, norm, length

@@ -1,4 +1,11 @@
-"""ROUGE-L F-measure, pycocoevalcap-compatible (beta=1.2, max over references)."""
+"""ROUGE-L F-measure, pycocoevalcap-compatible (beta=1.2, max over references).
+
+Matches pycocoevalcap's rouge.py exactly, including its ``split(" ")``
+tokenization (an empty string becomes [''], one token — so an empty hypothesis
+against an empty reference scores 1.0, and runs of spaces produce empty tokens).
+Differentially tested against a transcription of the upstream scorer in
+tests/pycoco_oracle.py (tests/test_metrics_oracle.py).
+"""
 
 from __future__ import annotations
 
@@ -20,16 +27,16 @@ def _lcs_len(a: List[str], b: List[str]) -> int:
 def rouge_l(references: List[List[str]], hypotheses: List[str], beta: float = 1.2) -> Tuple[float, List[float]]:
     scores = []
     for refs, hyp in zip(references, hypotheses):
-        hw = hyp.split()
+        hw = hyp.split(" ")  # upstream uses split(" "), not split()
         precs, recs = [], []
         for r in refs:
-            rw = r.split()
+            rw = r.split(" ")
             lcs = _lcs_len(hw, rw)
-            precs.append(lcs / len(hw) if hw else 0.0)
-            recs.append(lcs / len(rw) if rw else 0.0)
+            precs.append(lcs / float(len(hw)))
+            recs.append(lcs / float(len(rw)))
         p, r = max(precs), max(recs)
         if p != 0 and r != 0:
-            f = ((1 + beta ** 2) * p * r) / (r + beta ** 2 * p)
+            f = ((1 + beta ** 2) * p * r) / float(r + beta ** 2 * p)
         else:
             f = 0.0
         scores.append(f)

@@ -10,7 +10,13 @@ from PIL import Image
 
 def make_synth_refcoco(root, n_images=4, sents_per_ann=2, seed=0):
     """Creates <root>/coco/train2014/*.jpg and <root>/refs/refcoco/{instances.json,
-    refs(unc).p}. Returns (coco_dir, ref_dir)."""
+    refs(unc).p}. Returns (coco_dir, ref_dir).
+
+    ``sents_per_ann`` may be an int or a sequence (cycled per annotation) so tests
+    can create anns with differing reference counts (the zip(*) truncation path).
+    """
+    if isinstance(sents_per_ann, int):
+        sents_per_ann = [sents_per_ann]
     rng = np.random.default_rng(seed)
     coco_dir = os.path.join(root, "coco")
     ref_dir = os.path.join(root, "refs", "refcoco")
@@ -44,7 +50,7 @@ def make_synth_refcoco(root, n_images=4, sents_per_ann=2, seed=0):
             {"id": ann_id, "image_id": image_id, "bbox": [x, y, bw, bh], "category_id": 1}
         )
         sentences = []
-        for _ in range(sents_per_ann):
+        for _ in range(sents_per_ann[i % len(sents_per_ann)]):
             sentences.append({"sent_id": sent_id, "sent": captions_pool[sent_id % len(captions_pool)]})
             sent_id += 1
         refs.append(

@@ -75,12 +75,13 @@ def test_porter_stemmer_classics():
 
 
 def test_meteor_exact_and_stem():
+    # METEOR 1.5 scheme: perfect match, m=3, one chunk: fmean=1,
+    # penalty = gamma*(1/3)**beta (does not vanish at identity under 1.5 params)
     score, _ = meteor([["the cat sat"]], ["the cat sat"])
-    # perfect match, m=3, one chunk: fmean=1, penalty=0.5*(1/3)^3 -> 0.98148
-    assert score == pytest.approx(1.0 - 0.5 * (1 / 3) ** 3, abs=1e-6)
-    # stem-stage match: 'running' vs 'runs' -> both stem to 'run'
+    assert score == pytest.approx(1.0 - 0.6 * (1 / 3) ** 0.2, abs=1e-9)
+    # stem-stage match: 'running' vs 'runs' -> both stem to 'run' (weight 0.6)
     s2, _ = meteor([["the dog runs"]], ["the dog running"])
-    assert s2 > 0.5
+    assert 0.0 < s2 < score
     s3, _ = meteor([["entirely different sentence"]], ["the dog running"])
     assert s3 == 0.0
 
