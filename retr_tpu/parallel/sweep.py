@@ -54,8 +54,11 @@ def eval_model_sharded(
     mesh,
     *,
     metrics_to_omit: Optional[List[str]] = None,
+    return_hypotheses: bool = False,
 ) -> Dict[str, float]:
-    """engine.eval_model with dp-sharded decode. Returns the metric dict."""
+    """engine.eval_model with dp-sharded decode. Returns the metric dict
+    (or ``(metrics, hypotheses)`` with ``return_hypotheses=True`` — used by the
+    driver dryrun to assert sharded == single-device tokens)."""
     from collections import defaultdict
 
     from retr_tpu import decode as decode_mod
@@ -84,9 +87,12 @@ def eval_model_sharded(
         batch = shard_batch(device_batch(host_p, train=False), mesh)
         samples = Masked(batch.images, batch.image_masks)
         g = Masked(batch.global_images, batch.global_masks) if batch.global_images is not None else None
+        import jax.numpy as jnp
+
         ids = decode_mod.greedy(
             params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
             max_len=cfg.max_position_embeddings, bos_token=bos_id, eos_token=eos_id,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
         )
         pruned = decode_mod.prune_token_ids(
             np.asarray(ids)[:true_b].tolist(), clean=True,
@@ -97,7 +103,10 @@ def eval_model_sharded(
         references += [[normalize_with_tokenizer(r, tokenizer) for r in rs] for rs in refs]
 
     transposed = list(map(list, zip(*references)))
-    return NLGEval(metrics_to_omit=metrics_to_omit or []).compute_metrics(transposed, hypotheses)
+    metrics = NLGEval(metrics_to_omit=metrics_to_omit or []).compute_metrics(transposed, hypotheses)
+    if return_hypotheses:
+        return metrics, hypotheses
+    return metrics
 
 
 def full_eval_sweep(

@@ -1,18 +1,28 @@
-"""Cross-platform greedy-token parity check: CPU (exact f32) vs TPU (f32 HIGHEST).
+"""Greedy-token parity checker — three rerunnable modes.
 
-The CPU greedy path is bit-validated against the PyTorch reference semantics by the
-test suite (tests/test_caption.py::test_greedy_token_parity); this tool checks how
-closely the TPU execution of the SAME program tracks it.
+1. (default) cross-platform: CPU (exact f32) vs TPU (f32 HIGHEST) of the SAME
+   XLA program. Bit-exact agreement across different hardware cannot be
+   guaranteed (different summation orders argmax-flip ~0.2% of tokens on
+   random weights; trained margins are far larger) — low single-token counts
+   are expected float behavior, systematic divergence is a bug.
+2. --pallas: same-device XLA path vs fused-Pallas decode path
+   (Config.use_pallas_decode). These run identical math with HIGHEST-precision
+   dots, so tokens must be EXACTLY equal; any mismatch exits 1. On CPU the
+   kernels run in Pallas interpreter mode (decoder_kernels.FORCE_INTERPRET).
+3. --checkpoint-selftest: builds a reference-format ``.pth``
+   (torch.save({'model_state_dict': ...}), train_utils/checkpoints.py:4-15
+   layout) from the test oracle's state_dict, imports it through
+   train/checkpoints.import_reference_checkpoint, and requires EXACT greedy
+   token equality vs the torch oracle's reference decode loop
+   (eval_utils/decode.py:53-81 semantics) on CPU.
 
-Interpretation guide: bit-exact agreement across DIFFERENT hardware cannot be
-guaranteed — CPU and TPU sum in different orders, so two logits within ~1 ulp can
-argmax-flip. Measured on random-init weights (worst case: logit margins are tiny),
-the flip rate is ~0.2% of tokens (1 in 508 on the default run); trained models have
-far larger margins. The parity guarantees that ARE exact: same-device XLA vs Pallas
-paths (verified), and CPU vs the torch-semantics oracle (test suite). A handful of
-flipped rows here is expected; systematic divergence is a bug.
+--checkpoint PATH runs mode 1/2 on imported real reference weights instead of
+random init — ready for the moment real ``.pth`` weights appear.
 
-Usage: python tools/parity_check.py [--batch 8] [--seed 0] [--checkpoint PATH]
+Usage:
+    python tools/parity_check.py [--batch 8] [--seed 0] [--checkpoint PATH]
+    python tools/parity_check.py --pallas [--platform axon,cpu|cpu]
+    python tools/parity_check.py --checkpoint-selftest
 """
 
 from __future__ import annotations
@@ -23,12 +33,13 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
-def run(platform: str, batch: int, seed: int, checkpoint: str):
+def run(platform: str, batch: int, seed: int, checkpoint: str, *, pallas: bool = False,
+        max_len: int = 128):
     """Run greedy in a fresh subprocess pinned to `platform`; return the token buffer."""
-    import json
     import subprocess
     import tempfile
 
@@ -42,7 +53,11 @@ from retr_tpu.masking import Masked
 from retr_tpu.models import caption
 from retr_tpu import decode
 
-cfg = Config(backbone="ResNet50", dilation=True, dropout=0.1)
+cfg = Config(backbone="ResNet50", dilation=True, dropout=0.1,
+             use_pallas_decode={pallas!r})
+if {pallas!r} and jax.default_backend() == "cpu":
+    from retr_tpu.ops import decoder_kernels as dk
+    dk.FORCE_INTERPRET = True
 ckpt = {checkpoint!r}
 if ckpt:
     from retr_tpu.train.checkpoints import import_reference_checkpoint
@@ -52,17 +67,85 @@ else:
 rng = np.random.default_rng({seed})
 img = jnp.asarray(rng.normal(size=({batch}, 3, 224, 224)), jnp.float32)
 samples = Masked(img, jnp.zeros(({batch}, 224, 224), bool))
-ids = decode.greedy(params, cfg, samples, max_len=128, bos_token=101, eos_token=102)
+ids = decode.greedy(params, cfg, samples, max_len={max_len}, bos_token=101, eos_token=102)
 np.save(os.environ["PARITY_OUT"], np.asarray(ids))
 """
     with tempfile.TemporaryDirectory() as d:
         out = os.path.join(d, "ids.npy")
         env = dict(os.environ, PARITY_OUT=out)
-        subprocess.run(
-            [sys.executable, "-c", code], check=True, env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
+        subprocess.run([sys.executable, "-c", code], check=True, env=env, cwd=REPO)
         return np.load(out)
+
+
+def report(a, b, label_a, label_b, *, exact_required: bool) -> int:
+    match = (a == b).all()
+    n_tok = int((a != b).sum())
+    n_rows = int((a != b).any(axis=1).sum())
+    total = a.size
+    print(
+        f"token parity {label_a} vs {label_b}: "
+        f"{'EXACT' if match else f'{n_tok}/{total} tokens differ ({n_rows}/{len(a)} rows)'}"
+    )
+    if match:
+        return 0
+    for i, j in np.argwhere(a != b)[:10]:
+        print(f"  row {i} pos {j}: {label_a}={a[i, j]} {label_b}={b[i, j]}")
+    if exact_required:
+        return 1
+    # cross-hardware argmax ties flip at ~0.2% on random weights (docstring);
+    # treat low single-token counts as expected float behavior.
+    return 0 if n_tok <= max(2, total // 200) else 1
+
+
+def checkpoint_selftest(seed: int) -> int:
+    """Oracle state_dict -> reference .pth -> importer -> exact token parity."""
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+
+    from retr_tpu import decode
+    from retr_tpu.config import Config
+    from retr_tpu.masking import Masked
+    from retr_tpu.train.checkpoints import import_reference_checkpoint
+    from tests import torch_oracle
+
+    cfg = Config(
+        backbone="ResNet18", dilation=False, hidden_dim=64, nheads=4, enc_layers=2,
+        dec_layers=2, dim_feedforward=128, vocab_size=128, max_position_embeddings=16,
+        image_size=64, dropout=0.0,
+    )
+    torch.manual_seed(seed)
+    tm = torch_oracle.CaptionModel(
+        backbone_name=cfg.backbone, dilation=cfg.dilation, vocab=cfg.vocab_size,
+        d=cfg.hidden_dim, h=cfg.nheads, nenc=cfg.enc_layers, ndec=cfg.dec_layers,
+        dff=cfg.dim_feedforward, max_pos=cfg.max_position_embeddings,
+    ).eval()
+    bos, eos = cfg.vocab_size - 2, cfg.vocab_size - 1
+
+    with tempfile.TemporaryDirectory() as d:
+        pth = os.path.join(d, "Concat_refcoco_checkpoint_0.pth")
+        torch.save({"model_state_dict": tm.state_dict(), "epoch": 0}, pth)
+        params, meta = import_reference_checkpoint(pth, cfg)
+    print(f"imported reference-format .pth (epoch={meta['epoch']})")
+
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(4, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+    mask = np.zeros((4, cfg.image_size, cfg.image_size), bool)
+
+    want = torch_oracle.greedy_oracle(
+        tm, (torch.from_numpy(img), torch.from_numpy(mask)),
+        cfg.max_position_embeddings, bos, eos,
+    ).numpy()
+    import jax.numpy as jnp
+
+    got = np.asarray(decode.greedy(
+        params, cfg, Masked(jnp.asarray(img), jnp.asarray(mask)),
+        max_len=cfg.max_position_embeddings, bos_token=bos, eos_token=eos,
+    ))
+    return report(want, got, "torch-oracle", "retr_tpu(import)", exact_required=True)
 
 
 def main():
@@ -70,25 +153,32 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint", default="", help="optional reference .pth")
+    ap.add_argument("--pallas", action="store_true",
+                    help="same-device XLA vs fused-Pallas decode (exact equality required)")
+    ap.add_argument("--platform", default="axon,cpu",
+                    help="platform for --pallas mode (axon,cpu = TPU; cpu = interpreter)")
+    ap.add_argument("--checkpoint-selftest", action="store_true",
+                    help="oracle .pth -> importer -> exact token parity on CPU")
+    ap.add_argument("--max-len", type=int, default=128,
+                    help="decode steps (reduce for quick CPU-interpreter --pallas runs)")
     args = ap.parse_args()
+
+    if args.checkpoint_selftest:
+        sys.exit(checkpoint_selftest(args.seed))
+
+    if args.pallas:
+        if args.batch % 8 or args.batch < 8:
+            args.batch = max(8, (args.batch + 7) // 8 * 8)
+            print(f"--pallas requires batch%8==0 and batch>=8 (kernel gate); using {args.batch}")
+        xla = run(args.platform, args.batch, args.seed, args.checkpoint,
+                  pallas=False, max_len=args.max_len)
+        plk = run(args.platform, args.batch, args.seed, args.checkpoint,
+                  pallas=True, max_len=args.max_len)
+        sys.exit(report(xla, plk, "XLA", "Pallas", exact_required=True))
 
     cpu = run("cpu", args.batch, args.seed, args.checkpoint)
     tpu = run("axon,cpu", args.batch, args.seed, args.checkpoint)
-    match = (cpu == tpu).all()
-    n_rows = int((cpu != tpu).any(axis=1).sum())
-    n_tok = int((cpu != tpu).sum())
-    total = cpu.size
-    print(
-        f"token parity CPU vs TPU: "
-        f"{'EXACT' if match else f'{n_tok}/{total} tokens differ ({n_rows}/{len(cpu)} rows)'}"
-    )
-    if not match:
-        idx = np.argwhere(cpu != tpu)[:10]
-        for i, j in idx:
-            print(f"  row {i} pos {j}: cpu={cpu[i, j]} tpu={tpu[i, j]}")
-        # cross-hardware argmax ties flip at ~0.2% on random weights (see module
-        # docstring); treat low single-token counts as expected float behavior.
-        sys.exit(0 if n_tok <= max(2, total // 200) else 1)
+    sys.exit(report(cpu, tpu, "CPU", "TPU", exact_required=False))
 
 
 if __name__ == "__main__":
