@@ -24,6 +24,7 @@ from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from retr_tpu import decode as decode_mod
@@ -146,18 +147,19 @@ def eval_model(
         samples = Masked(batch.images, batch.image_masks)
         g = Masked(batch.global_images, batch.global_masks) if batch.global_images is not None else None
 
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
         with timer.phase("decode"):
             if decoder == "greedy":
                 ids = decode_mod.greedy(
                     params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
                     max_len=cfg.max_position_embeddings,
-                    bos_token=bos_id, eos_token=eos_id,
+                    bos_token=bos_id, eos_token=eos_id, compute_dtype=compute_dtype,
                 )
             elif decoder == "beam":
                 tokens, _ = decode_mod.beam_search(
                     params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
                     max_len=cfg.max_position_embeddings,
-                    bos_token=bos_id, eos_token=eos_id,
+                    bos_token=bos_id, eos_token=eos_id, compute_dtype=compute_dtype,
                     beam_size=cfg.beam_size, length_penalty=cfg.length_penalty,
                 )
                 ids = tokens[:, 0]

@@ -23,6 +23,7 @@ name map.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, List, Mapping, Tuple
 
@@ -175,16 +176,69 @@ def _bn(p, x):
     return x * p["scale"][None, :, None, None] + p["bias"][None, :, None, None]
 
 
+@jax.custom_vjp
 def _max_pool_3x3s2(x):
-    """torch MaxPool2d(kernel=3, stride=2, padding=1): pads with -inf."""
-    return jax.lax.reduce_window(
-        x,
-        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+    """torch MaxPool2d(kernel=3, stride=2, padding=1): pads with -inf.
+
+    Custom VJP: the built-in reduce_window gradient lowers to select_and_scatter,
+    which (a) fails to compile in this TPU toolchain even at f32 and (b) has no
+    bf16 reverse-mode support anywhere. The backward below is scatter-free —
+    nine strided window slices with torch's exact tie-break (ALL gradient to the
+    first max in row-major window scan order, matching MaxPool2d's stored-argmax
+    backward) — so training runs on TPU and under bf16. Forward pools in f32
+    (max is order-preserving; the bf16 round trip is bit-exact)."""
+    y = jax.lax.reduce_window(
+        x.astype(jnp.float32),
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, 1, 3, 3),
         window_strides=(1, 1, 2, 2),
         padding=[(0, 0), (0, 0), (1, 1), (1, 1)],
     )
+    return y.astype(x.dtype)
+
+
+def _pool_slices(xpad, oh, ow):
+    """The nine strided 3x3-window views of the (-inf padded) input, in row-major
+    window scan order — slice (di, dj) holds window element (di, dj) for every
+    output position."""
+    return [
+        jax.lax.slice(
+            xpad, (0, 0, di, dj), (xpad.shape[0], xpad.shape[1], di + 2 * oh - 1, dj + 2 * ow - 1),
+            (1, 1, 2, 2),
+        )
+        for di in range(3)
+        for dj in range(3)
+    ]
+
+
+def _max_pool_fwd(x):
+    return _max_pool_3x3s2(x), x
+
+
+def _max_pool_bwd(x, g):
+    # Recompute the f32 window max from the slices (the saved forward output may
+    # be bf16-rounded, which would break the equality test below).
+    n, c, h, w = x.shape
+    oh = (h - 1) // 2 + 1
+    ow = (w - 1) // 2 + 1
+    xpad = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (1, 1), (1, 1)),
+                   constant_values=-jnp.inf)
+    slices = _pool_slices(xpad, oh, ow)
+    y32 = functools.reduce(jnp.maximum, slices)
+    g32 = g.astype(jnp.float32)
+    taken = jnp.zeros(y32.shape, bool)
+    gpad = jnp.zeros(xpad.shape, jnp.float32)
+    for idx, sl in enumerate(slices):
+        is_max = jnp.logical_and(sl == y32, ~taken)
+        taken = jnp.logical_or(taken, is_max)
+        di, dj = idx // 3, idx % 3
+        contrib = jnp.where(is_max, g32, 0.0)
+        gpad = gpad.at[:, :, di : di + 2 * oh - 1 : 2, dj : dj + 2 * ow - 1 : 2].add(contrib)
+    return (gpad[:, :, 1 : 1 + h, 1 : 1 + w].astype(x.dtype),)
+
+
+_max_pool_3x3s2.defvjp(_max_pool_fwd, _max_pool_bwd)
 
 
 def _bottleneck_apply(p, x, stride, dilation):

@@ -160,10 +160,15 @@ def make_train_step(
     cfg: Config,
     tx: optax.GradientTransformation,
     *,
-    compute_dtype=jnp.float32,
+    compute_dtype=None,
     donate: bool = True,
 ) -> Callable:
-    """Build the jit-compiled training step: grads -> clip -> AdamW -> apply."""
+    """Build the jit-compiled training step: grads -> clip -> AdamW -> apply.
+
+    ``compute_dtype`` defaults to ``cfg.compute_dtype`` (f32 = parity mode,
+    bf16 = throughput mode; weights/optimizer state stay f32 either way)."""
+    if compute_dtype is None:
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
 
     def step(state: TrainState, batch: Batch, key) -> Tuple[TrainState, jax.Array]:
         step_key = jax.random.fold_in(key, state.step)
@@ -177,8 +182,10 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(cfg: Config, *, compute_dtype=jnp.float32) -> Callable:
+def make_eval_step(cfg: Config, *, compute_dtype=None) -> Callable:
     """Validation loss (no grad, no dropout) — engine.evaluate (engine.py:89-114)."""
+    if compute_dtype is None:
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
 
     def step(params: Params, batch: Batch) -> jax.Array:
         return loss_fn(params, cfg, batch, None, train=False, compute_dtype=compute_dtype)

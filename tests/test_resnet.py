@@ -81,3 +81,43 @@ def test_mask_downsample_nearest_matches_torch():
     ref = F.interpolate(m[None].float(), size=(14, 14)).to(torch.bool)[0].numpy()
     got = np.asarray(downsample_mask_nearest(jnp.asarray(m.numpy()), 14, 14))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_maxpool_custom_vjp_matches_torch_including_ties():
+    """The pool's custom VJP (resnet._max_pool_3x3s2) must replicate torch
+    MaxPool2d's stored-argmax backward: ALL gradient to the FIRST max in
+    row-major window order. (The built-in reduce_window VJP lowers to
+    select_and_scatter, which this TPU toolchain cannot compile and which has
+    no bf16 reverse-mode support — hence the custom rule.)"""
+    import jax
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.normal(size=(2, 3, 9, 9)).astype(np.float32),
+        np.zeros((2, 3, 8, 8), np.float32),                       # every window ties
+        np.round(rng.normal(size=(1, 2, 7, 7))).astype(np.float32),  # frequent ties
+    ]
+    for x in cases:
+        y_j, vjp = jax.vjp(resnet._max_pool_3x3s2, jnp.asarray(x))
+        g = rng.normal(size=y_j.shape).astype(np.float32)
+        gx = np.asarray(vjp(jnp.asarray(g))[0])
+        xt = torch.tensor(x, requires_grad=True)
+        y_t = F.max_pool2d(xt, 3, stride=2, padding=1)
+        y_t.backward(torch.tensor(g))
+        np.testing.assert_array_equal(np.asarray(y_j), y_t.detach().numpy())
+        # overlapping windows accumulate in a different order -> 1-ulp tolerance
+        np.testing.assert_allclose(gx, xt.grad.numpy(), rtol=2e-7, atol=2e-7)
+
+
+def test_maxpool_bf16_grad_defined():
+    import jax
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 2, 8, 8)), jnp.float32)
+
+    def f(x):
+        return jnp.sum(resnet._max_pool_3x3s2(x.astype(jnp.bfloat16)).astype(jnp.float32))
+
+    g = jax.grad(f)(x)
+    assert np.isfinite(np.asarray(g)).all()
