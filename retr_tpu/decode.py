@@ -136,33 +136,9 @@ class _BeamCarry(NamedTuple):
     tokens: jax.Array       # [B, K, L]
     scores: jax.Array       # [B, K] cumulative log-prob
     finished: jax.Array     # [B, K] bool
-    cache: transformer.DecodeCache  # self caches with leading dim B*K
+    cache: transformer.DecodeCache  # self caches with leading dim B*K, NEVER reordered
+    anc: jax.Array          # [B, K, L] int32 ancestry (cache row that wrote position t)
     step: jax.Array
-
-
-def _gather_beams(tree, idx: jax.Array, b: int, k: int):
-    """Reorder each cache's batch*beam axis by per-batch beam index [B, K].
-
-    Handles both cache layouts: [B*K, H, T, D] (XLA path, axis 0) and head-major
-    [H, B*K, T, D] (Pallas-decode path, axis 1)."""
-
-    def g(x):
-        if x.shape[0] == b * k:
-            xk = x.reshape((b, k) + x.shape[1:])
-            out = jnp.take_along_axis(
-                xk, idx.reshape((b, k) + (1,) * (xk.ndim - 2)), axis=1
-            )
-            return out.reshape((b * k,) + x.shape[1:])
-        if x.ndim >= 2 and x.shape[1] == b * k:
-            h = x.shape[0]
-            xk = x.reshape((h, b, k) + x.shape[2:])
-            out = jnp.take_along_axis(
-                xk, idx.reshape((1, b, k) + (1,) * (xk.ndim - 3)), axis=2
-            )
-            return out.reshape((h, b * k) + x.shape[2:])
-        return x
-
-    return jax.tree.map(g, tree)
 
 
 def beam_search_from_memory(
@@ -182,14 +158,21 @@ def beam_search_from_memory(
 
     Returns (tokens [B, K, L] sorted best-first, normalized scores [B, K]).
     Finished beams are frozen (forced to re-emit EOS with zero added score).
+
+    The self caches are NEVER physically reordered on beam reorder — each beam
+    row writes its own slot and attention reads position t from the ancestor row
+    recorded in the [B, K, L] ancestry matrix (transformer.decode_step_beam).
+    Round 1 gathered all 12 self caches every step, which measured at ~258 ms of
+    the 531 ms batch-32/k=5 decode (tools/exp_r2.py); the ancestry carry is 80 KB
+    instead.
     """
     b, s, c = memory.shape
     k = beam_size
     neg_inf = jnp.float32(-1e9)
 
     # tile memory across beams: [B*K, S, C]. The cross K/V computed from it are
-    # IDENTICAL across a batch element's beams, so they are never gathered on beam
-    # reorder — only the self caches are.
+    # IDENTICAL across a batch element's beams, so they are never reordered; the
+    # self caches use ancestry addressing instead of reordering.
     mem_t = jnp.repeat(memory, k, axis=0)
     mask_t = jnp.repeat(mem_mask, k, axis=0)
     cache, cross = transformer.init_decode_state(
@@ -199,15 +182,18 @@ def beam_search_from_memory(
     tokens = jnp.zeros((b, k, max_len), jnp.int32).at[:, :, 0].set(bos_token)
     scores = jnp.where(jnp.arange(k)[None, :] == 0, 0.0, neg_inf) * jnp.ones((b, 1))
     finished = jnp.zeros((b, k), bool)
-
-
+    anc = jnp.zeros((b, k, max_len), jnp.int32)
 
     def cond(cst: _BeamCarry):
         return jnp.logical_and(cst.step < max_len - 1, ~jnp.all(cst.finished))
 
     def body(cst: _BeamCarry):
         cur = cst.tokens[:, :, cst.step].reshape(b * k)
-        hs, cache = transformer.decode_step(params["transformer"], cst.cache, cross, cur, cst.step, cfg)
+        # position `step` is written by each beam's own row this step
+        anc = cst.anc.at[:, :, cst.step].set(jnp.arange(k, dtype=jnp.int32)[None, :])
+        hs, cache = transformer.decode_step_beam(
+            params["transformer"], cst.cache, cross, cur, cst.step, cfg, anc, k
+        )
         logits = caption.mlp_head(params["mlp"], hs).astype(jnp.float32)  # [B*K, V]
         logp = jax.nn.log_softmax(logits, axis=-1)
 
@@ -234,10 +220,11 @@ def beam_search_from_memory(
         tokens = tokens.at[:, :, cst.step + 1].set(tok_idx)
         finished = jnp.take_along_axis(cst.finished, beam_idx, axis=1)
         finished = jnp.logical_or(finished, tok_idx == eos_token)
-        cache = _gather_beams(cache, beam_idx, b, k)
-        return _BeamCarry(tokens, top_scores, finished, cache, cst.step + 1)
+        # reorder the 80KB ancestry matrix instead of the ~250MB of caches
+        anc = jnp.take_along_axis(anc, beam_idx[:, :, None], axis=1)
+        return _BeamCarry(tokens, top_scores, finished, cache, anc, cst.step + 1)
 
-    init = _BeamCarry(tokens, scores, finished, cache, jnp.int32(0))
+    init = _BeamCarry(tokens, scores, finished, cache, anc, jnp.int32(0))
     with matmul_precision(memory.dtype):
         out = jax.lax.while_loop(cond, body, init)
 

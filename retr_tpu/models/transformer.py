@@ -326,9 +326,16 @@ def init_decode_state(
     pos: jax.Array,
     cfg: Config,
     max_len: int,
+    *,
+    force_xla_layout: bool = False,
 ) -> Tuple[DecodeCache, CrossContext]:
     """Precompute cross-attention K/V per decoder layer (memory is fixed), allocate
-    empty self-attention caches with static shapes."""
+    empty self-attention caches with static shapes.
+
+    ``force_xla_layout`` keeps the [B, H, T, D] self-cache layout even when the
+    Pallas decode kernels are eligible — beam search's ancestry-addressed
+    self-attention (decode_step_beam) runs on the XLA path while cross/FF still
+    use the Pallas blocks."""
     b = memory.shape[0]
     h, dh = cfg.nheads, cfg.head_dim
     kp = _with_pos(memory, pos[None, :, :])
@@ -340,7 +347,7 @@ def init_decode_state(
         cross_v.append(layers.split_heads(layers.linear(mha["v"], memory), h))
 
     dtype = memory.dtype
-    if _pallas_decode_eligible(cfg, b):
+    if _pallas_decode_eligible(cfg, b) and not force_xla_layout:
         # fused-kernel layout: head-major [H, B, D, T] (T on lanes) so each
         # grid-over-heads program owns a padding-free (1, B, D, T) cache block.
         shape = (h, b, dh, max_len)
@@ -443,6 +450,117 @@ def decode_step(
         if use_pk:
             x = dk.ff_block(lp["ff"], x[:, 0, :], interpret=pk_interpret)[:, None, :]
         else:
+            x = _ff_block(lp["ff"], x, cfg, key=None, train=False)
+
+    x = layers.layer_norm(params["decoder"]["norm"], x)
+    return x[:, 0, :], state._replace(self_k=tuple(self_k), self_v=tuple(self_v))
+
+
+def decode_step_beam(
+    params: Params,
+    state: DecodeCache,
+    cross: CrossContext,
+    token_ids: jax.Array,  # [B*K] token at position `step`, beam-major per batch
+    step: jax.Array,       # scalar int32
+    cfg: Config,
+    anc: jax.Array,        # [B, K, T] int32 ancestry: physical beam row that wrote t
+    num_beams: int,
+) -> Tuple[jax.Array, DecodeCache]:
+    """Beam-search decode step with ANCESTRY-ADDRESSED self-attention.
+
+    Beam reorders never physically gather the self caches (the round-1 cost:
+    ~258 ms/batch of pure cache shuffling at k=5, measured in tools/exp_r2.py).
+    Instead each beam row always writes its own cache slot, and attention reads
+    position t from the ancestor row ``anc[b, k, t]``:
+
+      scores[b,i,h,t] = sum_j (q[b,i] . K[b,j,t]) * [anc[b,i,t] == j]
+
+    The K dot runs against ALL k beams of the batch group as one batched matmul
+    (k x FLOPs — trivial at D=32) and the one-hot select is EXACT (one nonzero
+    per t), so selected scores are bit-identical to a physically gathered cache.
+    Cross-attention K/V are beam-invariant and FF is per-row, so both reuse the
+    greedy machinery (Pallas blocks when eligible).
+    """
+    bk = token_ids.shape[0]
+    k = num_beams
+    b = bk // k
+    h, dh = cfg.nheads, cfg.head_dim
+    use_pk = False
+    if _pallas_decode_eligible(cfg, bk):
+        from retr_tpu.ops import decoder_kernels as dk
+
+        use_pk = dk.FORCE_INTERPRET or jax.default_backend() != "cpu"
+        pk_interpret = dk.FORCE_INTERPRET
+    max_len = state.self_k[0].shape[3 if use_pk else 2]
+
+    x = decoder_embed(params["embeddings"], token_ids[:, None], cfg, position_offset=step[None])
+    qpos = params["embeddings"]["pos"]["table"][step][None, None, :]
+
+    valid = jnp.arange(max_len)[None, None, None, :] <= step
+    self_bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)  # [1,1,1,T]
+
+    if use_pk:
+        qpos_row = params["embeddings"]["pos"]["table"][step]
+        mem_kb = cross.mem_bias[:, 0, 0, :]
+        anc_rows = anc.reshape(bk, max_len)
+    else:
+        # one-hot ancestry selector [B, I(=k query beams), J(=k cache rows), T]
+        sel = (anc[:, :, None, :] == jnp.arange(k, dtype=anc.dtype)[None, None, :, None])
+
+    self_k, self_v = list(state.self_k), list(state.self_v)
+    for li, lp in enumerate(params["decoder"]["layers"]):
+        # -- self-attention: write own row, read through ancestry
+        sp = lp["self_attn"]
+        if use_pk:
+            x2d, self_k[li], self_v[li] = dk.self_attn_block_beam(
+                sp, x[:, 0, :], anc_rows, qpos_row, self_k[li], self_v[li], step,
+                num_heads=h, num_beams=k, interpret=pk_interpret,
+            )
+            x = x2d[:, None, :]
+        else:
+            nx = layers.layer_norm(sp["norm"], x)
+            qk_in = _with_pos(nx, qpos)
+            wqk = jnp.concatenate([sp["mha"]["q"]["w"], sp["mha"]["k"]["w"]], axis=1)
+            bqk = jnp.concatenate([sp["mha"]["q"]["b"], sp["mha"]["k"]["b"]])
+            qk = qk_in @ wqk + bqk
+            e = cfg.hidden_dim
+            q = layers.split_heads(qk[..., :e], h)[:, :, 0, :]          # [BK, H, D]
+            k_new = layers.split_heads(qk[..., e:], h)
+            v_new = layers.split_heads(layers.linear(sp["mha"]["v"], nx), h)
+            self_k[li] = self_k[li].at[:, :, step, :].set(k_new[:, :, 0, :])
+            self_v[li] = self_v[li].at[:, :, step, :].set(v_new[:, :, 0, :])
+
+            kc = self_k[li].reshape(b, k, h, max_len, dh)
+            vc = self_v[li].reshape(b, k, h, max_len, dh)
+            qr = q.reshape(b, k, h, dh)
+            scale = jnp.asarray(dh, jnp.float32) ** -0.5
+            # all-beams scores, then the exact one-hot select (same scaling order
+            # as layers.attention_core: q scaled before the dot)
+            s_all = jnp.einsum(
+                "bihd,bjhtd->bihjt", qr * scale.astype(qr.dtype), kc,
+                preferred_element_type=jnp.float32,
+            )
+            scores = jnp.sum(s_all * sel[:, :, None, :, :], axis=3)     # [B, I, H, T]
+            scores = scores + self_bias
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            pmask = probs[:, :, :, None, :] * sel[:, :, None, :, :].astype(probs.dtype)
+            out = jnp.einsum("bihjt,bjhtd->bihd", pmask.astype(vc.dtype), vc)
+            out = out.reshape(bk, 1, h * dh)
+            x = x + layers.linear(sp["mha"]["out"], out)
+
+        # -- cross-attention (beam-invariant K/V) + FF: same as greedy
+        cp = lp["cross_attn"]
+        if use_pk:
+            x = dk.cross_attn_block(
+                cp, x[:, 0, :], qpos_row, cross.cross_k[li], cross.cross_v[li],
+                mem_kb, num_heads=h, interpret=pk_interpret,
+            )[:, None, :]
+            x = dk.ff_block(lp["ff"], x[:, 0, :], interpret=pk_interpret)[:, None, :]
+        else:
+            nq = layers.layer_norm(cp["norm"], x)
+            qc = layers.split_heads(layers.linear(cp["mha"]["q"], _with_pos(nq, qpos)), h)
+            outc, _ = layers.attention_core(qc, cross.cross_k[li], cross.cross_v[li], cross.mem_bias)
+            x = x + layers.linear(cp["mha"]["out"], layers.merge_heads(outc))
             x = _ff_block(lp["ff"], x, cfg, key=None, train=False)
 
     x = layers.layer_norm(params["decoder"]["norm"], x)

@@ -257,6 +257,158 @@ def self_attn_block(
     return out, kc, vc
 
 
+# ---------------------------------------------------------------------------------
+# Beam self-attention residual block: ancestry-addressed cache reads
+# ---------------------------------------------------------------------------------
+
+
+def _beam_batch_block(bk: int, k: int) -> int:
+    """Largest batch block that covers whole beam groups (multiple of k), divides
+    the B*K row count, and stays within the VMEM budget."""
+    for g in (8, 4, 2, 1):
+        bb = k * g
+        if bb <= 64 and bk % bb == 0:
+            return bb
+    raise ValueError(f"B*K={bk} not divisible by beam groups of {k}")
+
+
+def _make_self_beam_kernel(num_beams: int):
+    def kernel(step_ref, x_ref, anc_ref, qpos_ref, lns_ref, lnb_ref,
+               wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+               wo_ref, bo_ref, kc_in, vc_in, kc_out, vc_out, heads_ref):
+        """Like _self_kernel, but each beam row reads position t of its group's
+        ancestor row ``anc[row, t]`` instead of its own: a static loop over the
+        k candidate rows with an exact one-hot select (each (row, t) matches
+        exactly one candidate). Rows still WRITE their own slot — beam reorders
+        never touch the caches (the ancestry matrix is the only thing gathered,
+        in the caller)."""
+        x = x_ref[:]
+        step = step_ref[0]
+        d = wq_ref.shape[2]
+
+        nx = _ln(x, lns_ref[:], lnb_ref[:])
+        qk_in = nx + qpos_ref[:]
+        q = (_dot(qk_in, wq_ref[0]) + bq_ref[0, 0]) * (jnp.float32(d) ** -0.5)
+        k_new = _dot(qk_in, wk_ref[0]) + bk_ref[0, 0]
+        v_new = _dot(nx, wv_ref[0]) + bv_ref[0, 0]
+
+        kc = kc_in[0]  # [BB, D, T]
+        vc = vc_in[0]
+        bb, _, t = kc.shape
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+        is_step = lane == step
+        kc = jnp.where(is_step, k_new[:, :, None], kc)
+        vc = jnp.where(is_step, v_new[:, :, None], vc)
+        kc_out[0] = kc.astype(kc_out.dtype)
+        vc_out[0] = vc.astype(vc_out.dtype)
+
+        kk = num_beams
+        g = bb // kk
+        anc_g = anc_ref[:].reshape(g, kk, t)     # [G, K, T]
+        kc_g = kc.reshape(g, kk, d, t)
+        vc_g = vc.reshape(g, kk, d, t)
+        q_g = q.reshape(g, kk, d)
+
+        scores = jnp.zeros((g, kk, t), jnp.float32)
+        for j in range(kk):
+            sj = jnp.sum(q_g[:, :, :, None] * kc_g[:, j][:, None, :, :], axis=2)
+            scores = scores + jnp.where(anc_g == j, sj, 0.0)
+        valid = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) <= step
+        scores = jnp.where(valid, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+
+        attn = jnp.zeros((g, kk, d), jnp.float32)
+        for j in range(kk):
+            pj = jnp.where(anc_g == j, probs, 0.0)
+            attn = attn + jnp.sum(pj[:, :, None, :] * vc_g[:, j][:, None, :, :], axis=3)
+        attn = attn.reshape(bb, d)
+
+        hi = pl.program_id(1)
+        part = _dot(attn, wo_ref[0])
+
+        @pl.when(hi == 0)
+        def _():
+            heads_ref[:] = (x + bo_ref[:] + part).astype(heads_ref.dtype)
+
+        @pl.when(hi != 0)
+        def _():
+            heads_ref[:] = heads_ref[:] + part.astype(heads_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "num_beams", "interpret"))
+def self_attn_block_beam(
+    p: Params,
+    x: jax.Array,          # [B*K, C] beam-major rows per batch group
+    anc: jax.Array,        # [B*K, T] int32 ancestry (cache row within the group)
+    qpos: jax.Array,       # [C]
+    k_cache: jax.Array,    # [H, B*K, D, T]
+    v_cache: jax.Array,
+    step: jax.Array,
+    *,
+    num_heads: int,
+    num_beams: int,
+    interpret: bool = False,
+):
+    """Beam variant of self_attn_block. Returns (x_out, k_cache', v_cache')."""
+    bk, c = x.shape
+    h = num_heads
+    d = c // h
+    t = k_cache.shape[3]
+
+    def w3(name):
+        return p["mha"][name]["w"].reshape(c, h, d).transpose(1, 0, 2)
+
+    def b3(name):
+        return p["mha"][name]["b"].reshape(h, 1, d)
+
+    wo3 = p["mha"]["out"]["w"].reshape(h, d, c)
+
+    bb = _beam_batch_block(bk, num_beams)
+    nb = bk // bb
+
+    bcast = lambda *shape: pl.BlockSpec(shape, lambda bi, hi, s: (0,) * len(shape), memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((bb, c), lambda bi, hi, s: (bi, 0), memory_space=pltpu.VMEM)
+    anc_spec = pl.BlockSpec((bb, t), lambda bi, hi, s: (bi, 0), memory_space=pltpu.VMEM)
+    per_head3 = pl.BlockSpec((1, c, d), lambda bi, hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
+    per_bias3 = pl.BlockSpec((1, 1, d), lambda bi, hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
+    per_out3 = pl.BlockSpec((1, d, c), lambda bi, hi, s: (hi, 0, 0), memory_space=pltpu.VMEM)
+    cache_spec = pl.BlockSpec((1, bb, d, t), lambda bi, hi, s: (hi, bi, 0, 0), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, h),
+        in_specs=[
+            x_spec, anc_spec, bcast(c), bcast(c), bcast(c),
+            per_head3, per_bias3, per_head3, per_bias3, per_head3, per_bias3,
+            per_out3, bcast(c),
+            cache_spec, cache_spec,
+        ],
+        out_specs=[cache_spec, cache_spec, x_spec],
+    )
+    kc, vc, out = pl.pallas_call(
+        _make_self_beam_kernel(num_beams),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((bk, c), x.dtype),
+        ],
+        input_output_aliases={14: 0, 15: 1},  # cache buffers update in place
+        interpret=interpret,
+    )(
+        jnp.asarray(step, jnp.int32).reshape(1),
+        x, anc, qpos, p["norm"]["scale"], p["norm"]["bias"],
+        w3("q"), b3("q"), w3("k"), b3("k"), w3("v"), b3("v"),
+        wo3, p["mha"]["out"]["b"],
+        k_cache, v_cache,
+    )
+    return out, kc, vc
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def cross_attn_block(
     p: Params,

@@ -193,3 +193,84 @@ def test_beam_search_beats_or_matches_greedy_score():
         ge = np.where(g_np[i] == eos)[0]
         end = ge[0] + 1 if len(ge) else g_np.shape[1]
         np.testing.assert_array_equal(t1_np[i, :end], g_np[i, :end])
+
+
+def _beam_reference_gathered(params, cfg, samples, *, max_len, bos, eos, k):
+    """Physically-gathered beam search (round-1 semantics): caches reordered by
+    take_along_axis each step. Reference for the ancestry-addressed production
+    implementation (transformer.decode_step_beam)."""
+    from retr_tpu.models import caption as cap_mod
+    from retr_tpu.models import transformer as tr
+
+    memory, mem_mask, pos = cap_mod.encode(params, cfg, samples)
+    b = memory.shape[0]
+    neg_inf = np.float32(-1e9)
+    mem_t = jnp.repeat(memory, k, axis=0)
+    mask_t = jnp.repeat(mem_mask, k, axis=0)
+    cache, cross = tr.init_decode_state(
+        params["transformer"], mem_t, mask_t, pos, cfg, max_len, force_xla_layout=True
+    )
+    tokens = np.zeros((b, k, max_len), np.int32)
+    tokens[:, :, 0] = bos
+    scores = np.where(np.arange(k)[None, :] == 0, 0.0, neg_inf) * np.ones((b, 1), np.float32)
+    finished = np.zeros((b, k), bool)
+
+    for step in range(max_len - 1):
+        if finished.all():
+            break
+        cur = jnp.asarray(tokens[:, :, step].reshape(b * k))
+        hs, cache = tr.decode_step(params["transformer"], cache, cross, cur, jnp.int32(step), cfg)
+        logits = np.asarray(cap_mod.mlp_head(params["mlp"], hs), np.float32)
+        logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1)).reshape(b, k, -1)
+        v = logp.shape[-1]
+        cand = np.where(
+            finished[:, :, None],
+            np.where(np.arange(v)[None, None, :] == eos, scores[:, :, None],
+                     scores[:, :, None] + neg_inf),
+            scores[:, :, None] + logp,
+        ).reshape(b, k * v)
+        top_idx = np.argsort(-cand, axis=1, kind="stable")[:, :k]
+        scores = np.take_along_axis(cand, top_idx, axis=1)
+        beam_idx = (top_idx // v).astype(np.int32)
+        tok_idx = (top_idx % v).astype(np.int32)
+        tokens = np.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
+        tokens[:, :, step + 1] = tok_idx
+        finished = np.take_along_axis(finished, beam_idx, axis=1) | (tok_idx == eos)
+        # physically gather the caches [B*K, H, T, D]
+        def g(x):
+            xk = x.reshape((b, k) + x.shape[1:])
+            out = jnp.take_along_axis(
+                xk, jnp.asarray(beam_idx).reshape((b, k) + (1,) * (xk.ndim - 2)), axis=1
+            )
+            return out.reshape((b * k,) + x.shape[1:])
+        cache = jax.tree.map(g, cache)
+
+    # length-normalized ranking (same as production)
+    is_eos = tokens == eos
+    has_eos = is_eos.any(axis=-1)
+    eos_pos = is_eos.argmax(axis=-1)
+    length = np.where(has_eos, eos_pos, max_len - 1).astype(np.float32)
+    norm = scores / np.maximum(length, 1.0)
+    order = np.argsort(-norm, axis=-1, kind="stable")
+    return np.take_along_axis(tokens, order[:, :, None], axis=1)
+
+
+def test_beam_ancestry_matches_gathered_reference():
+    """The ancestry-addressed beam (no cache gather) must pick the same beams and
+    tokens as a physically-gathered implementation."""
+    for seed in (3, 11):
+        cfg = tiny_cfg()
+        _, params = make_oracle(cfg, seed=seed)
+        img, mask = make_image_batch(2, cfg.image_size, seed=seed)
+        samples = Masked(jnp.asarray(img.numpy()), jnp.asarray(mask.numpy()))
+        bos, eos = 90, 91
+        k = 3
+        want = _beam_reference_gathered(
+            params, cfg, samples, max_len=cfg.max_position_embeddings,
+            bos=bos, eos=eos, k=k,
+        )
+        got, _ = decode.beam_search(
+            params, cfg, samples, max_len=cfg.max_position_embeddings,
+            bos_token=bos, eos_token=eos, beam_size=k,
+        )
+        np.testing.assert_array_equal(np.asarray(got), want)

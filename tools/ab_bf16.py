@@ -1,0 +1,158 @@
+"""bf16 / backbone-precision A/B on a TRAINED checkpoint (VERDICT r1 item 4).
+
+Round 1 measured bf16's 16% throughput win and backbone-HIGH's ~11% win but only
+validated token stability on random weights (0.27% flips). Trained models have
+far larger logit margins; this tool produces the trained-checkpoint evidence:
+
+1. trains the flagship-shaped model (ResNet50 dilated, 6+6, d=256) to memorize a
+   96-image synthetic RefCOCO fixture on the TPU (checkpoint cached across runs);
+2. greedy-decodes the eval split under four precision configs —
+   A: f32 HIGHEST (parity baseline)        B: backbone_precision='high'
+   C: compute_dtype='bfloat16'             D: both
+3. reports exact token-buffer flip rates vs A and the CIDEr/BLEU-4 deltas.
+
+A config is promoted to the benchmark default only if token-neutral or
+metric-neutral here (bench.py documents the chosen mode).
+
+Usage: python tools/ab_bf16.py [--steps 400] [--ckpt-dir /tmp/retr_ab_ckpt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from bench_e2e import make_fixture  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=96)
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--fixture-dir", default="/tmp/retr_e2e_fixture")
+    ap.add_argument("--ckpt-dir", default="/tmp/retr_ab_ckpt")
+    ap.add_argument("--retrain", action="store_true")
+    args = ap.parse_args()
+
+    coco_dir, ref_dir = make_fixture(args.fixture_dir, args.images)
+
+    import jax
+    import jax.numpy as jnp
+
+    from retr_tpu import decode as decode_mod
+    from retr_tpu.config import Config
+    from retr_tpu.data import dataset as ds
+    from retr_tpu.data.pipeline import device_batch
+    from retr_tpu.data.tokenizer import prepare_tokenizer
+    from retr_tpu.engine import normalize_with_tokenizer, train_one_epoch
+    from retr_tpu.masking import Masked
+    from retr_tpu.metrics import NLGEval
+    from retr_tpu.models import caption
+    from retr_tpu.train import checkpoints as ckpt
+    from retr_tpu.train.state import TrainState, make_optimizer, make_train_step
+
+    tok, _, _ = prepare_tokenizer()
+    base = Config(
+        dir=coco_dir, ref_dir=ref_dir, verbose=False, backbone="ResNet50",
+        dilation=True, dropout=0.1, batch_size=args.batch, num_workers=4,
+        vocab_size=tok.vocab_size, use_pallas_decode=True, lr=1e-4,
+    )
+
+    # ---- train (or load cached) ---------------------------------------------
+    ckpt_path = os.path.join(args.ckpt_dir, "Concat_refcoco_checkpoint_0")
+    if args.retrain or not os.path.isdir(ckpt_path):
+        train_set = ds.build_dataset(base, "val", tokenizer=tok)  # fixture is all 'val'
+        loader = ds.DataLoader(train_set, base.batch_size, shuffle=True,
+                               drop_last=True, num_workers=4)
+        params, _ = caption.build_model(base, jax.random.key(0))
+        tx = make_optimizer(base, steps_per_epoch=len(loader))
+        state = TrainState(params, tx.init(params), jnp.int32(0))
+        # training itself runs bf16 DEFAULT precision for speed — the A/B below is
+        # about EVAL precision on the resulting weights.
+        step = make_train_step(base, tx, compute_dtype=jnp.bfloat16, donate=False)
+        epoch, loss = 0, float("inf")
+        while int(state.step) < args.steps:
+            state, loss = train_one_epoch(state, step, loader, jax.random.key(1), epoch=epoch)
+            print(f"epoch {epoch}: step {int(state.step)} loss {loss:.4f}", flush=True)
+            epoch += 1
+            if loss < 0.02:
+                break
+        ckpt.save_checkpoint(args.ckpt_dir, state, base, epoch=0, train_loss=loss)
+        params = state.params
+    else:
+        params, _ = caption.build_model(base, jax.random.key(0))
+        tx = make_optimizer(base, steps_per_epoch=1)
+        template = TrainState(params, tx.init(params), jnp.int32(0))
+        state, _ = ckpt.load_checkpoint(ckpt_path, template)
+        params = state.params
+        print("loaded cached checkpoint", flush=True)
+
+    # ---- A/B eval -------------------------------------------------------------
+    configs = {
+        "A_f32_highest": base,
+        "B_backbone_high": base.replace(backbone_precision="high"),
+        "C_bf16": base.replace(compute_dtype="bfloat16"),
+        "D_bf16_backbone_high": base.replace(compute_dtype="bfloat16",
+                                             backbone_precision="high"),
+    }
+
+    eval_set = ds.build_dataset(base, "val", tokenizer=tok, return_unique=True)
+    loader = ds.DataLoader(eval_set, base.batch_size, num_workers=4)
+    pad_id, bos_id, eos_id = (tok.convert_tokens_to_ids(t) for t in
+                              (tok.pad_token, tok.cls_token, tok.sep_token))
+
+    annotations = {}
+    for a in eval_set.annot:
+        annotations.setdefault(a[0], []).append(a[2])
+
+    buffers = {k: [] for k in configs}
+    hyps = {k: [] for k in configs}
+    refs = []
+    for host in loader:
+        batch = device_batch(host, train=False)
+        samples = Masked(batch.images, batch.image_masks)
+        for name, cfg in configs.items():
+            ids = np.asarray(decode_mod.greedy(
+                params, cfg, samples, max_len=cfg.max_position_embeddings,
+                bos_token=bos_id, eos_token=eos_id,
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+            ))
+            buffers[name].append(ids)
+            pruned = decode_mod.prune_token_ids(
+                ids.tolist(), clean=True, pad_token=pad_id,
+                bos_token=bos_id, eos_token=eos_id)
+            hyps[name] += tok.batch_decode(pruned)
+        refs += [[normalize_with_tokenizer(r, tok) for r in annotations[int(i)]]
+                 for i in host.ann_ids]
+
+    transposed = list(map(list, zip(*refs)))
+    nlg = NLGEval()
+    out = {}
+    ref_buf = np.concatenate(buffers["A_f32_highest"])
+    for name in configs:
+        buf = np.concatenate(buffers[name])
+        flips = int((buf != ref_buf).sum())
+        rows = int((buf != ref_buf).any(axis=1).sum())
+        m = nlg.compute_metrics(ref_list=transposed, hyp_list=hyps[name])
+        out[name] = {
+            "token_flips": flips,
+            "flip_rate": round(flips / ref_buf.size, 6),
+            "rows_changed": rows,
+            "CIDEr": round(m["CIDEr"], 4),
+            "Bleu_4": round(m["Bleu_4"], 4),
+        }
+        print(name, out[name], flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""End-to-end eval benchmark INCLUDING the host input pipeline (VERDICT r1 item 2).
+
+Runs the real ``engine.eval_model`` loop — loader (JPEG decode -> crop -> native
+pad+resize, threaded prefetch) -> device_batch -> KV-cached decode -> prune ->
+NLG scoring — on a synthetic on-disk RefCOCO dataset with realistic image sizes
+(300-640 px), and reports captions/s end-to-end plus the phase breakdown the
+north-star metric needs (mirrors /root/reference/engine.py:125-186, which is the
+path a reference user actually runs).
+
+The fixture is cached under --fixture-dir (default /tmp/retr_e2e_fixture) so
+repeat runs skip generation.
+
+Usage: python tools/bench_e2e.py [--images 96] [--batch 32] [--device axon]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CAPTIONS = [
+    "the red dog on the left side",
+    "a small cat next to the wooden chair",
+    "the man wearing a blue shirt and hat",
+    "the big green car in front of the store",
+    "a woman sitting on the right bench",
+    "the black hat on the round table",
+    "the tall lamp behind the sofa",
+    "a brown horse near the fence",
+]
+
+
+def make_fixture(root: str, n_images: int, seed: int = 0):
+    """Synthetic RefCOCO at realistic image sizes; every ann is its own image
+    (worst case for decode-cache reuse). Cached across runs."""
+    import pickle
+
+    from PIL import Image
+
+    coco_dir = os.path.join(root, "coco")
+    ref_dir = os.path.join(root, "refs", "refcoco")
+    stamp = os.path.join(root, f"ok_{n_images}")
+    if os.path.exists(stamp):
+        return coco_dir, ref_dir
+    os.makedirs(os.path.join(coco_dir, "train2014"), exist_ok=True)
+    os.makedirs(ref_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    annotations, refs = [], []
+    for i in range(n_images):
+        image_id = 2000 + i
+        h, w = int(rng.integers(300, 640)), int(rng.integers(300, 640))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(coco_dir, "train2014", f"COCO_train2014_{image_id:012d}.jpg"),
+            quality=90,
+        )
+        x, y = float(rng.uniform(2, w * 0.4)), float(rng.uniform(2, h * 0.4))
+        bw, bh = float(rng.uniform(40, w * 0.5)), float(rng.uniform(40, h * 0.5))
+        annotations.append({"id": i, "image_id": image_id, "bbox": [x, y, bw, bh],
+                            "category_id": 1})
+        sents = [{"sent_id": 2 * i + j, "sent": CAPTIONS[(2 * i + j) % len(CAPTIONS)]}
+                 for j in range(2)]
+        refs.append({"ann_id": i, "ref_id": i, "image_id": image_id, "split": "val",
+                     "file_name": f"x_{i}.jpg", "sentences": sents})
+    with open(os.path.join(ref_dir, "instances.json"), "w") as f:
+        json.dump({"annotations": annotations}, f)
+    with open(os.path.join(ref_dir, "refs(unc).p"), "wb") as f:
+        pickle.dump(refs, f)
+    open(stamp, "w").close()
+    return coco_dir, ref_dir
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=96)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--fixture-dir", default="/tmp/retr_e2e_fixture")
+    ap.add_argument("--backbone", default="ResNet50")
+    ap.add_argument("--decoder", default="greedy", choices=["greedy", "beam"])
+    ap.add_argument("--ckpt", default="", help="retr_tpu checkpoint dir (e.g. the "
+                    "tools/ab_bf16.py memorization checkpoint) — realistic short "
+                    "hypotheses instead of random-weight garbage")
+    args = ap.parse_args()
+
+    coco_dir, ref_dir = make_fixture(args.fixture_dir, args.images)
+
+    import jax
+
+    from retr_tpu import engine
+    from retr_tpu.config import Config
+    from retr_tpu.data import dataset as ds
+    from retr_tpu.data.tokenizer import prepare_tokenizer
+    from retr_tpu.models import caption
+    from retr_tpu.utils.profiling import PhaseTimer
+
+    tok, _, _ = prepare_tokenizer()
+    cfg = Config(
+        dir=coco_dir, ref_dir=ref_dir, verbose=False, backbone=args.backbone,
+        dilation=True, dropout=0.1, batch_size=args.batch, num_workers=args.workers,
+        use_pallas_decode=True,
+        **({"vocab_size": tok.vocab_size} if args.ckpt else {}),
+    )
+    if args.ckpt:
+        import jax.numpy as jnp
+
+        from retr_tpu.train import checkpoints as ckpt_mod
+        from retr_tpu.train.state import TrainState, make_optimizer
+
+        template_params, _ = caption.build_model(cfg, jax.random.key(0))
+        tx = make_optimizer(cfg, steps_per_epoch=1)
+        template = TrainState(template_params, tx.init(template_params), jnp.int32(0))
+        state, _ = ckpt_mod.load_checkpoint(args.ckpt, template)
+        params = state.params
+    else:
+        params, _ = caption.build_model(cfg, jax.random.key(0))
+    dataset = ds.build_dataset(cfg, "val", tokenizer=tok, return_unique=True)
+    loader = ds.DataLoader(dataset, cfg.batch_size, num_workers=cfg.num_workers)
+
+    # warmup epoch: compile decode + device pipeline, warm the page cache
+    engine.eval_model(params, cfg, loader, tok, decoder=args.decoder)
+
+    timer = PhaseTimer()
+    t0 = time.perf_counter()
+    with timer.phase("eval_total"):
+        metrics, hyps = engine.eval_model(
+            params, cfg, loader, tok, decoder=args.decoder, timer=timer
+        )
+    wall = time.perf_counter() - t0
+    n = len(hyps)
+
+    s = timer.summary()
+    phases = {k: round(v["total_s"], 3) for k, v in s.items()}
+    loop = s["input"]["total_s"] + s["decode"]["total_s"]
+    out = {
+        "metric": f"end-to-end eval_model ({args.decoder}, batch {args.batch}, "
+                  f"host JPEG->crop->resize included): captions/s",
+        "value": round(n / wall, 2),
+        "unit": "captions/s",
+        "n_captions": n,
+        "wall_s": round(wall, 3),
+        "phases_s": phases,
+        "overlap_note": (
+            "input phase = time device_batch blocks the eval loop; loader prefetch "
+            "threads overlap the NEXT batch's JPEG/resize with the decode fetch, so "
+            f"loop accounted {loop:.2f}s of {wall:.2f}s wall "
+            f"(rest = scoring + loop body)"
+        ),
+        "cider": round(metrics["CIDEr"], 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
