@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+from collections import OrderedDict
 from typing import Iterator, List, NamedTuple, Optional
 
 import numpy as np
@@ -54,6 +55,7 @@ class RefCocoCaptions:
         return_unique: bool = False,
         return_global_context: bool = False,
         return_location_features: bool = False,
+        image_cache_size: int = 256,
     ):
         self.root = root
         self.tokenizer = tokenizer
@@ -61,6 +63,12 @@ class RefCocoCaptions:
         self.image_size = image_size
         self.return_global_context = return_global_context
         self.return_location_features = return_location_features
+        # decoded-image LRU: real RefCOCO has ~3 annotations per COCO image, so
+        # caching the JPEG decode cuts the host input cost ~3x. Thread-safe
+        # (prefetch workers share it); ~150KB-1MB per 300-640px RGB image.
+        self._img_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._img_cache_lock = threading.Lock()
+        self.image_cache_size = image_cache_size
 
         # (ann_id, filename, caption, bbox) tuples, reference layout (refcoco.py:74-75)
         self.annot = [
@@ -88,11 +96,23 @@ class RefCocoCaptions:
     def _load_image(self, filename: str) -> np.ndarray:
         from PIL import Image
 
+        if self.image_cache_size > 0:
+            with self._img_cache_lock:
+                img = self._img_cache.get(filename)
+                if img is not None:
+                    self._img_cache.move_to_end(filename)
+                    return img
         path = os.path.join(self.root, "train2014", filename)
         with Image.open(path) as im:
             if im.mode != "RGB":
                 im = im.convert("RGB")
-            return np.asarray(im)
+            img = np.asarray(im)
+        if self.image_cache_size > 0:
+            with self._img_cache_lock:
+                self._img_cache[filename] = img
+                while len(self._img_cache) > self.image_cache_size:
+                    self._img_cache.popitem(last=False)
+        return img
 
     def __getitem__(self, idx: int) -> Sample:
         ann_id, filename, caption, bbox = self.annot_select[idx]

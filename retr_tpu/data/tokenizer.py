@@ -85,7 +85,11 @@ class WordPieceTokenizer:
         for i in range(1, 100):
             vocab[f"[unused{i}]"] = i
         for w in words:
-            for piece in {w} | {w[:k] for k in range(1, len(w))} | {"##" + w[k:] for k in range(1, len(w))}:
+            # sorted: set iteration order depends on the per-process string hash
+            # seed, which would make the vocab (id -> piece mapping) differ across
+            # processes — a checkpoint trained in one process would mis-decode in
+            # another. Sorting pins the assignment.
+            for piece in sorted({w} | {w[:k] for k in range(1, len(w))} | {"##" + w[k:] for k in range(1, len(w))}):
                 if piece not in vocab:
                     vocab[piece] = nxt
                     nxt += 1

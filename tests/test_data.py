@@ -1,5 +1,7 @@
 """Data layer tests: annotations, tokenizer, preprocessing, dataset, loader."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -221,3 +223,26 @@ def test_tokenizer_fuzz_parity_vs_hf(rng):
                 ids_nat, _ = nat.encode(text, 12)
                 padded = ours + [0] * (12 - len(ours))
                 assert ids_nat.tolist() == padded, repr(text)
+
+
+def test_synthetic_vocab_stable_across_processes():
+    """The synthetic vocab must not depend on the per-process string-hash seed:
+    a checkpoint trained in one process would otherwise mis-decode in another
+    (set-iteration order bug, fixed with sorted piece assignment)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from retr_tpu.data.tokenizer import prepare_tokenizer\n"
+        "tok, _, _ = prepare_tokenizer()\n"
+        "print(sorted(tok.vocab.items(), key=lambda kv: kv[1]))\n"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, check=True,
+            env={**os.environ, "PYTHONHASHSEED": seed},
+        ).stdout
+        for seed in ("1", "2", "random")
+    }
+    assert len(outs) == 1, "synthetic vocab differs across processes"

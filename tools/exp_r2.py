@@ -116,6 +116,25 @@ def beam_suite():
 
     timeit(topk_loop, logits, label="127x top_k([160,30522], 5)")
 
+    # hierarchical exact top-k candidate: per-128-block top-k, then combine —
+    # the global top-5 must be within each block's top-5, so this is exact.
+    pad = (-(v) % 128)
+    vp = v + pad
+
+    @jax.jit
+    def topk_hier_loop(x):
+        xp = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+
+        def body(i, acc):
+            blocks = (xp + acc[:, :1] * 1e-6).reshape(bk, vp // 128, 128)
+            bs, bi = jax.lax.top_k(blocks, k)              # [bk, nb, k]
+            flat = bs.reshape(bk, -1)
+            s2, i2 = jax.lax.top_k(flat, k)
+            return acc + s2[:, :1]
+        return jax.lax.fori_loop(0, 127, body, jnp.zeros((bk, 1), jnp.float32))
+
+    timeit(topk_hier_loop, logits, label="127x hierarchical top_k(239x128 -> 1195)")
+
     @jax.jit
     def logsoftmax_loop(x):
         def body(i, acc):
