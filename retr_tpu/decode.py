@@ -195,13 +195,20 @@ def beam_search_from_memory(
             params["transformer"], cst.cache, cross, cur, cst.step, cfg, anc, k
         )
         logits = caption.mlp_head(params["mlp"], hs).astype(jnp.float32)  # [B*K, V]
-        logp = jax.nn.log_softmax(logits, axis=-1)
 
         # two-stage top-k: the global k best continuations include at most k per
         # beam, so take per-beam top-k over the vocab first and combine the [K, K]
-        # shortlist — never materializing the [B, K*V] candidate matrix.
-        row_scores, row_tokens = jax.lax.top_k(logp, k)      # [B*K, K]
-        row_scores = row_scores.reshape(b, k, k)
+        # shortlist — never materializing the [B, K*V] candidate matrix. top_k runs
+        # on the RAW logits (the per-row logsumexp shift preserves order and ties),
+        # so the full [B*K, V] log_softmax array is never materialized; log-probs
+        # are computed for the k winners only — bitwise identical values
+        # (subtraction commutes with the gather).
+        row_logits, row_tokens = jax.lax.top_k(logits, k)    # [B*K, K]
+        # exact log_softmax association (x - m) - log(sum(exp(x - m))) so the
+        # winner values are bitwise what gathering log_softmax would give
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        log_z = jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+        row_scores = ((row_logits - m) - log_z).reshape(b, k, k)
         row_tokens = row_tokens.reshape(b, k, k).astype(jnp.int32)
 
         # finished beams: single EOS continuation with no score change.

@@ -48,7 +48,8 @@ def main():
     cfg = flagship_cfg()
     params, _ = caption.build_model(cfg, jax.random.key(0))
     rng = np.random.default_rng(0)
-    kwargs = dict(max_len=MAX_LEN, bos_token=101, eos_token=cfg.vocab_size + 1)
+    kwargs = dict(max_len=MAX_LEN, bos_token=101, eos_token=cfg.vocab_size + 1,
+                  compute_dtype=jnp.dtype(cfg.compute_dtype))
 
     def samples_of(b):
         img = jnp.asarray(rng.normal(size=(b, 3, IMAGE, IMAGE)), jnp.float32)
@@ -125,7 +126,16 @@ def main():
         "loss_finite": bool(np.isfinite(float(loss))),
     }
 
+    # 7 (extra): batch-128 greedy — eval throughput scales with batch (PERF.md)
+    s128 = samples_of(128)
+    t = _timed(lambda: decode.greedy(params, cfg, s128, **kwargs))
+    results["7_batch128_greedy"] = {
+        "latency_s_per_batch": t,
+        "captions_per_sec": 128 / t,
+    }
+
     results["reference_cpu_baseline_captions_per_sec"] = measure_torch_baseline()
+    results["compute_dtype"] = cfg.compute_dtype
     results["device"] = str(jax.devices()[0])
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
