@@ -116,13 +116,19 @@ def eval_model(
     print_samples: bool = False,
     decoder: str = "greedy",
     timer=None,
+    pipeline_depth: int = 2,
 ) -> Tuple[Dict[str, float], List[dict]]:
     """Greedy-decode the loader's dataset and score with the NLG suite.
 
     ``decoder='beam'`` swaps in beam search (beam_size/length_penalty from cfg) —
     a north-star extension; the reference is greedy-only. Pass a
-    utils.profiling.PhaseTimer as ``timer`` for input/decode/score phase breakdowns
+    utils.profiling.PhaseTimer as ``timer`` for input/decode/fetch phase breakdowns
     (the expressions/sec + p50 instrumentation the north-star metric needs).
+
+    The loop is double-buffered (``pipeline_depth`` batches in flight): decode for
+    batch n+1 is dispatched before batch n's tokens are fetched, so device compute
+    and the transport round trip overlap host-side prune/detokenize/reference
+    normalization. ``pipeline_depth=1`` restores the strictly serial loop.
     """
     from retr_tpu.utils.profiling import PhaseTimer
 
@@ -136,18 +142,17 @@ def eval_model(
     pad_id = tokenizer.convert_tokens_to_ids(tokenizer.pad_token)
     bos_id = tokenizer.convert_tokens_to_ids(tokenizer.cls_token)
     eos_id = tokenizer.convert_tokens_to_ids(tokenizer.sep_token)
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
 
     hypotheses: List[str] = []
     ids_hypotheses: List[dict] = []
     references: List[List[str]] = []
 
-    for host_batch in loader:
+    def dispatch(host_batch):
         with timer.phase("input"):
             batch = device_batch(host_batch, train=False)
         samples = Masked(batch.images, batch.image_masks)
         g = Masked(batch.global_images, batch.global_masks) if batch.global_images is not None else None
-
-        compute_dtype = jnp.dtype(cfg.compute_dtype)
         with timer.phase("decode"):
             if decoder == "greedy":
                 ids = decode_mod.greedy(
@@ -165,25 +170,42 @@ def eval_model(
                 ids = tokens[:, 0]
             else:
                 raise ValueError(f"unknown decoder {decoder!r}")
-            ids = np.asarray(ids)  # force completion: fetch is the only real barrier
+        return ids, host_batch
+
+    def collect(entry):
+        ids_dev, host_batch = entry
+        with timer.phase("fetch"):
+            ids = np.asarray(ids_dev)  # force completion: fetch is the only real barrier
 
         pruned = decode_mod.prune_token_ids(
             ids.tolist(), clean=True,
             pad_token=pad_id, bos_token=bos_id, eos_token=eos_id,
         )
         hyps = tokenizer.batch_decode(pruned)
-        hypotheses += hyps
+        hypotheses.extend(hyps)
 
         ids_hyps = [
             {"ann_id": int(i), "expression": h}
             for i, h in zip(host_batch.ann_ids.tolist(), hyps)
         ]
-        ids_hypotheses += ids_hyps
+        ids_hypotheses.extend(ids_hyps)
         if print_samples:
             print(*ids_hyps, sep="\n")
 
         refs = [annotations[int(i)] for i in host_batch.ann_ids]
-        references += [[normalize_with_tokenizer(r, tokenizer) for r in rs] for rs in refs]
+        references.extend(
+            [normalize_with_tokenizer(r, tokenizer) for r in rs] for rs in refs
+        )
+
+    from collections import deque
+
+    pending: deque = deque()
+    for host_batch in loader:
+        pending.append(dispatch(host_batch))
+        if len(pending) >= max(1, pipeline_depth):
+            collect(pending.popleft())
+    while pending:
+        collect(pending.popleft())
 
     # the reference's zip(*) transposition truncates to the min ref count (engine.py:181)
     transposed_references = list(map(list, zip(*references)))

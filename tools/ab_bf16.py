@@ -134,6 +134,28 @@ def main():
         refs += [[normalize_with_tokenizer(r, tok) for r in annotations[int(i)]]
                  for i in host.ann_ids]
 
+    # --- beam A/B (f32 vs bf16): beam is a north-star extension with no reference
+    # parity constraint, but promoting bf16 there still wants trained evidence.
+    beam_hyps = {}
+    for name in ("A_f32_highest", "C_bf16"):
+        cfg = configs[name]
+        beam_hyps[name] = []
+        for host in loader:
+            batch = device_batch(host, train=False)
+            samples = Masked(batch.images, batch.image_masks)
+            toks, _ = decode_mod.beam_search(
+                params, cfg, samples, max_len=cfg.max_position_embeddings,
+                bos_token=bos_id, eos_token=eos_id, beam_size=5,
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+            )
+            pruned = decode_mod.prune_token_ids(
+                np.asarray(toks[:, 0]).tolist(), clean=True, pad_token=pad_id,
+                bos_token=bos_id, eos_token=eos_id)
+            beam_hyps[name] += tok.batch_decode(pruned)
+    beam_flips = sum(a != b for a, b in zip(beam_hyps["A_f32_highest"], beam_hyps["C_bf16"]))
+    print(f"beam k=5 f32-vs-bf16: {beam_flips}/{len(beam_hyps['A_f32_highest'])} "
+          f"hypotheses differ", flush=True)
+
     transposed = list(map(list, zip(*refs)))
     nlg = NLGEval()
     out = {}
@@ -151,6 +173,7 @@ def main():
             "Bleu_4": round(m["Bleu_4"], 4),
         }
         print(name, out[name], flush=True)
+    out["beam5_f32_vs_bf16_hyp_flips"] = int(beam_flips)
     print(json.dumps(out))
 
 

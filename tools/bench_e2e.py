@@ -139,7 +139,7 @@ def main():
 
     s = timer.summary()
     phases = {k: round(v["total_s"], 3) for k, v in s.items()}
-    loop = s["input"]["total_s"] + s["decode"]["total_s"]
+    loop = sum(s[k]["total_s"] for k in ("input", "decode", "fetch") if k in s)
     out = {
         "metric": f"end-to-end eval_model ({args.decoder}, batch {args.batch}, "
                   f"host JPEG->crop->resize included): captions/s",

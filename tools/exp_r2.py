@@ -102,6 +102,11 @@ def beam_suite():
         beam_size=k)[0]
     t_full = timeit(bs, params, samples, label="beam k=5 (ancestry, 127 steps)")
 
+    bs_bf = lambda p, s: decode.beam_search(
+        p, cfg, s, max_len=MAX_LEN, bos_token=101, eos_token=cfg.vocab_size + 1,
+        beam_size=k, compute_dtype=jnp.bfloat16)[0]
+    timeit(bs_bf, params, samples, label="beam k=5 bf16 (ancestry, 127 steps)")
+
     # --- isolated ops at beam shapes, 127 iterations inside one jit
     bk, v = BATCH * k, cfg.vocab_size
     rng = np.random.default_rng(0)
