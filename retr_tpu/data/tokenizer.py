@@ -195,6 +195,7 @@ class WordPieceTokenizer:
 
                 path = self._vocab_path
                 if not path:
+                    import atexit
                     import tempfile
 
                     fd, path = tempfile.mkstemp(suffix=".vocab.txt")
@@ -205,6 +206,7 @@ class WordPieceTokenizer:
                         for i in range(max(inv) + 1):
                             f.write(inv.get(i, f"[unused_slot_{i}]") + "\n")
                     self._vocab_path = path
+                    atexit.register(lambda p=path: _os.path.exists(p) and _os.unlink(p))
                 self._native = native.NativeWordPiece(path)
             except Exception:
                 self._native = False

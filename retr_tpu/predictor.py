@@ -11,11 +11,21 @@ normalization, encode-once KV-cached decode — behind one object suitable for s
 
 Everything after preprocessing is a single compiled program per (batch-size, decoder)
 pair; batches are padded to the configured batch size so the compile cache stays warm.
+
+`ServingQueue` adds an async micro-batcher on top: concurrent callers submit single
+requests, a background worker coalesces them (up to `max_batch`, waiting at most
+`max_wait_s` for stragglers) into one padded device batch per dispatch — the standard
+dynamic-batching pattern for TPU serving, where per-dispatch cost is dominated by the
+fixed encode + decode-loop launch, not the batch dimension.
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -103,6 +113,7 @@ class Predictor:
             global_samples=g, loc_feats=batch.loc_feats,
             max_len=self.cfg.max_position_embeddings,
             bos_token=self.bos, eos_token=self.eos,
+            compute_dtype=jax.numpy.dtype(self.cfg.compute_dtype),
         )
         if beam:
             tokens, _ = decode_mod.beam_search(
@@ -119,3 +130,78 @@ class Predictor:
             pad_token=self.pad, bos_token=self.bos, eos_token=self.eos,
         )
         return self.tokenizer.batch_decode(pruned)
+
+
+class ServingQueue:
+    """Async dynamic batcher over a Predictor.
+
+    Requests submitted from any thread are coalesced into device batches of up to
+    `predictor.max_batch`; a dispatch fires as soon as the batch is full or the
+    oldest queued request has waited `max_wait_s`. Each `submit` returns a
+    `concurrent.futures.Future[str]`.
+
+        q = ServingQueue(pred)
+        futs = [q.submit(img, bbox) for img, bbox in requests]
+        texts = [f.result() for f in futs]
+        q.close()
+    """
+
+    def __init__(self, predictor: Predictor, *, max_wait_s: float = 0.01,
+                 beam: bool = False):
+        self.predictor = predictor
+        self.max_wait_s = max_wait_s
+        self.beam = beam
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, image, bbox) -> "Future[str]":
+        if self._closed:
+            raise RuntimeError("ServingQueue is closed")
+        fut: "Future[str]" = Future()
+        self._q.put((image, bbox, fut))
+        return fut
+
+    def close(self, *, wait: bool = True) -> None:
+        """Stop accepting requests; drain what is queued, then stop the worker."""
+        self._closed = True
+        self._q.put(None)
+        if wait:
+            self._worker.join()
+
+    def _next_batch(self) -> Optional[list]:
+        """Block for the first request, then coalesce until full or max_wait_s."""
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        t_end = time.monotonic() + self.max_wait_s
+        while len(batch) < self.predictor.max_batch:
+            remaining = t_end - time.monotonic()
+            try:
+                item = self._q.get(timeout=max(remaining, 0.0))
+            except queue.Empty:
+                break
+            if item is None:
+                self._q.put(None)  # re-post the sentinel so the worker exits next round
+                break
+            batch.append(item)
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._next_batch()
+            if batch is None:
+                return
+            images = [b[0] for b in batch]
+            bboxes = [b[1] for b in batch]
+            futs = [b[2] for b in batch]
+            try:
+                texts = self.predictor.predict_batch(images, bboxes, beam=self.beam)
+            except Exception as exc:  # propagate per-request
+                for f in futs:
+                    f.set_exception(exc)
+                continue
+            for f, t in zip(futs, texts):
+                f.set_result(t)

@@ -7,7 +7,7 @@ import jax
 from retr_tpu.config import Config
 from retr_tpu.data.tokenizer import prepare_tokenizer
 from retr_tpu.models import caption
-from retr_tpu.predictor import Predictor
+from retr_tpu.predictor import Predictor, ServingQueue
 
 
 def tiny_predictor(**cfg_kw):
@@ -43,6 +43,44 @@ def test_predict_loc_variant(rng):
     img = rng.integers(0, 256, (90, 70, 3), dtype=np.uint8)
     s = pred.predict(img, [5, 5, 30, 30])
     assert isinstance(s, str)
+
+
+def test_serving_queue_batches_and_matches_sync(rng):
+    """Async micro-batcher returns the same strings as the synchronous API, across
+    more requests than one batch holds (so coalescing + re-dispatch both run)."""
+    pred = tiny_predictor()
+    imgs = [rng.integers(0, 256, (60 + 10 * i, 80, 3), dtype=np.uint8) for i in range(5)]
+    boxes = [[5, 5, 30 + i, 25] for i in range(5)]
+    want = pred.predict_batch(imgs, boxes)
+
+    q = ServingQueue(pred, max_wait_s=0.05)
+    futs = [q.submit(im, bb) for im, bb in zip(imgs, boxes)]
+    got = [f.result(timeout=120) for f in futs]
+    q.close()
+    assert got == want
+
+
+def test_serving_queue_propagates_errors(rng):
+    pred = tiny_predictor()
+    q = ServingQueue(pred, max_wait_s=0.01)
+    fut = q.submit(rng.integers(0, 256, (50, 50, 3), dtype=np.uint8), "not-a-bbox")
+    try:
+        fut.result(timeout=120)
+        raised = False
+    except Exception:
+        raised = True
+    q.close()
+    assert raised
+
+
+def test_serving_queue_rejects_after_close(rng):
+    pred = tiny_predictor()
+    q = ServingQueue(pred)
+    q.close()
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        q.submit(rng.integers(0, 256, (50, 50, 3), dtype=np.uint8), [1, 1, 10, 10])
 
 
 def test_refcocog_refs_filename(tmp_path):
