@@ -32,10 +32,10 @@ from retr_tpu.config import Config  # noqa: F401
 
 def __getattr__(name):
     """Lazy top-level API (keeps `import retr_tpu` light)."""
-    if name == "Predictor":
-        from retr_tpu.predictor import Predictor
+    if name in ("Predictor", "ServingQueue"):
+        from retr_tpu import predictor as _p
 
-        return Predictor
+        return getattr(_p, name)
     if name == "build_model":
         from retr_tpu.models.caption import build_model
 

@@ -74,31 +74,60 @@ def train_one_epoch(
     *,
     epoch: int = 0,
     logger: Optional[MetricLogger] = None,
+    pipeline_depth: int = 2,
 ) -> Tuple[TrainState, float]:
+    """One training epoch (reference engine.py:52-87).
+
+    The loss fetch is pipelined ``pipeline_depth`` steps behind the dispatch: JAX
+    dispatch is async, so the host enqueues step n+1 while step n executes, and the
+    device-to-host loss read (a full transport round trip under axon) overlaps
+    compute instead of serializing with it. The reference's NaN hard stop
+    (engine.py:75-77) is preserved — a non-finite loss still raises
+    ``NonFiniteLossError``, at most ``pipeline_depth-1`` dispatches later (the
+    poisoned later states are abandoned with the raise either way).
+    ``pipeline_depth=1`` restores the strictly serial check.
+    """
+    from collections import deque
+
     epoch_loss, n = 0.0, 0
     epoch_key = jax.random.fold_in(key, epoch)
-    for host_batch in loader:
-        batch = device_batch(host_batch, train=True, key=jax.random.fold_in(epoch_key, n))
-        state, loss = step_fn(state, batch, epoch_key)
+    step0 = int(state.step)  # host-side step mirror: int(state.step) per step would block
+    pending: deque = deque()  # (global_step, device_loss)
+
+    def drain_one():
+        nonlocal epoch_loss
+        i, loss = pending.popleft()
         loss_value = float(loss)
         if not math.isfinite(loss_value):
             raise NonFiniteLossError(f"Loss is {loss_value}, stopping training")
         epoch_loss += loss_value
-        n += 1
         if logger is not None:
-            logger.log("train_step", step=int(state.step), loss=loss_value, epoch=epoch)
+            logger.log("train_step", step=i, loss=loss_value, epoch=epoch)
+
+    for host_batch in loader:
+        batch = device_batch(host_batch, train=True, key=jax.random.fold_in(epoch_key, n))
+        state, loss = step_fn(state, batch, epoch_key)
+        n += 1
+        pending.append((step0 + n, loss))
+        if len(pending) >= max(1, pipeline_depth):
+            drain_one()
+    while pending:
+        drain_one()
     return state, epoch_loss / max(n, 1)
 
 
 def evaluate(params, cfg: Config, loader: DataLoader, *, eval_step=None) -> float:
+    """Validation loss (reference engine.py:89-114); per-batch loss fetches are
+    drained one batch behind the dispatch so the transport round trip overlaps."""
     if eval_step is None:
         eval_step = make_eval_step(cfg)
-    total, n = 0.0, 0
+    losses = []
     for host_batch in loader:
         batch = device_batch(host_batch, train=False)
-        total += float(eval_step(params, batch))
-        n += 1
-    return total / max(n, 1)
+        losses.append(eval_step(params, batch))
+        if len(losses) > 1:
+            losses[-2] = float(losses[-2])
+    return sum(float(v) for v in losses) / max(len(losses), 1)
 
 
 def normalize_with_tokenizer(sent: str, tokenizer) -> str:
