@@ -20,8 +20,8 @@ from typing import Dict, List, Tuple
 
 
 def _ngram_counts(words: List[str], max_n: int = 4) -> List[Counter]:
-    return [Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
-            for n in range(1, max_n + 1)]
+    # zip emits the n-gram tuples in C (same tuples as slicing, ~2x faster)
+    return [Counter(zip(*[words[i:] for i in range(n)])) for n in range(1, max_n + 1)]
 
 
 class CiderScorer:
@@ -46,29 +46,44 @@ class CiderScorer:
 
         ref_len = math.log(float(len(crefs)))
 
+        # idf factor per distinct ngram, computed once (identical arithmetic to the
+        # per-occurrence log(max(df, 1)) it replaces); unseen ngrams have df=0 -> ref_len
+        idf = {ng: ref_len - math.log(max(df, 1.0)) for ng, df in doc_freq.items()}
+        idf_get = idf.get
+
         def counts2vec(counts_per_n):
-            vec = [defaultdict(float) for _ in range(self.n)]
+            vec = [{} for _ in range(self.n)]
             norm = [0.0] * self.n
             length = 0
             for n_idx, n_counts in enumerate(counts_per_n):
+                v = vec[n_idx]
+                acc = 0.0
                 for ng, tf in n_counts.items():
-                    df = math.log(max(doc_freq[ng], 1.0))
-                    vec[n_idx][ng] = float(tf) * (ref_len - df)
-                    norm[n_idx] += vec[n_idx][ng] ** 2
+                    w = float(tf) * idf_get(ng, ref_len)
+                    v[ng] = w
+                    acc += w * w
                     if n_idx == 1:  # upstream quirk: length = bigram tf total
                         length += tf
-                norm[n_idx] = math.sqrt(norm[n_idx])
+                norm[n_idx] = math.sqrt(acc)
             return vec, norm, length
 
         def sim(vh, nh, lh, vr, nr, lr):
             delta = float(lh - lr)
+            penalty = math.e ** (-(delta ** 2) / (2 * self.sigma ** 2))
             val = [0.0] * self.n
             for n_idx in range(self.n):
+                b = vr[n_idx]
+                b_get = b.get
+                s = 0.0
+                # iterate vh in insertion order (upstream order; zero vr entries add
+                # exact 0.0 there, so skipping them is bitwise-identical)
                 for ng, c in vh[n_idx].items():
-                    val[n_idx] += min(vh[n_idx][ng], vr[n_idx][ng]) * vr[n_idx][ng]
+                    r = b_get(ng)
+                    if r is not None:
+                        s += min(c, r) * r
                 if nh[n_idx] != 0 and nr[n_idx] != 0:
-                    val[n_idx] /= nh[n_idx] * nr[n_idx]
-                val[n_idx] *= math.e ** (-(delta ** 2) / (2 * self.sigma ** 2))
+                    s /= nh[n_idx] * nr[n_idx]
+                val[n_idx] = s * penalty
             return val
 
         scores = []
