@@ -89,6 +89,9 @@ def main():
     ap.add_argument("--ckpt", default="", help="retr_tpu checkpoint dir (e.g. the "
                     "tools/ab_bf16.py memorization checkpoint) — realistic short "
                     "hypotheses instead of random-weight garbage")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                    help="compute_dtype for the eval decode; bfloat16 is the "
+                    "validated-fastest benchmark mode (docs/AB_BF16.json)")
     args = ap.parse_args()
 
     coco_dir, ref_dir = make_fixture(args.fixture_dir, args.images)
@@ -106,7 +109,7 @@ def main():
     cfg = Config(
         dir=coco_dir, ref_dir=ref_dir, verbose=False, backbone=args.backbone,
         dilation=True, dropout=0.1, batch_size=args.batch, num_workers=args.workers,
-        use_pallas_decode=True,
+        use_pallas_decode=True, compute_dtype=args.dtype,
         **({"vocab_size": tok.vocab_size} if args.ckpt else {}),
     )
     if args.ckpt:
@@ -142,7 +145,7 @@ def main():
     loop = sum(s[k]["total_s"] for k in ("input", "decode", "fetch") if k in s)
     out = {
         "metric": f"end-to-end eval_model ({args.decoder}, batch {args.batch}, "
-                  f"host JPEG->crop->resize included): captions/s",
+                  f"{args.dtype}, host JPEG->crop->resize included): captions/s",
         "value": round(n / wall, 2),
         "unit": "captions/s",
         "n_captions": n,
