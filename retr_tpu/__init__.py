@@ -40,7 +40,7 @@ def __getattr__(name):
         from retr_tpu.models.caption import build_model
 
         return build_model
-    if name in ("greedy", "beam_search", "greedy_decoding"):
+    if name in ("greedy", "beam_search", "sample", "greedy_decoding"):
         from retr_tpu import decode as _d
 
         return getattr(_d, name)

@@ -239,14 +239,17 @@ class DataLoader:
             return False
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, b))
-                    if not put(collate(samples)):
-                        return
-            put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, b))
+                        if not put(collate(samples)):
+                            return
+                put(None)
+            except BaseException as exc:  # surface worker failures to the consumer
+                put(exc)                  # (otherwise q.get() would block forever)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -255,6 +258,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -128,6 +128,101 @@ def greedy(
 
 
 # ---------------------------------------------------------------------------------
+# Stochastic sampling (extension; the reference is greedy-only)
+# ---------------------------------------------------------------------------------
+
+
+class _SampleCarry(NamedTuple):
+    captions: jax.Array
+    finished: jax.Array
+    cache: transformer.DecodeCache
+    key: jax.Array
+    step: jax.Array
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_len", "bos_token", "eos_token", "temperature",
+                     "top_k", "top_p", "compute_dtype"),
+)
+def sample(
+    params: Params,
+    cfg: Config,
+    samples: Masked,
+    key: jax.Array,
+    *,
+    global_samples: Optional[Masked] = None,
+    loc_feats: Optional[jax.Array] = None,
+    max_len: int = 128,
+    bos_token: int = 101,
+    eos_token: int = 102,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Ancestral sampling with temperature / top-k / nucleus (top-p) filtering.
+
+    Same KV-cached loop and write/stop semantics as ``greedy`` (BOS slot 0, token
+    written at step+1, post-EOS writes for still-running batches); ``temperature=0``
+    or ``top_k=1`` reduce exactly to argmax. Filters compose the standard way:
+    logits are truncated to the top-k set, then to the smallest prefix with
+    cumulative probability >= top_p, then renormalized by softmax sampling.
+    """
+    memory, mem_mask, pos = caption.encode(
+        params, cfg, samples, global_samples=global_samples, loc_feats=loc_feats,
+        compute_dtype=compute_dtype,
+    )
+    b = memory.shape[0]
+    cache, cross = transformer.init_decode_state(
+        params["transformer"], memory, mem_mask, pos, cfg, max_len
+    )
+    captions = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(bos_token)
+    neg_inf = jnp.float32(-1e30)
+    greedy_mode = temperature <= 0.0 or top_k == 1
+
+    def cond(c: _SampleCarry):
+        return jnp.logical_and(c.step < max_len - 1, ~jnp.all(c.finished))
+
+    def body(c: _SampleCarry):
+        hs, cache = transformer.decode_step(
+            params["transformer"], c.cache, cross, c.captions[:, c.step], c.step, cfg
+        )
+        logits = caption.mlp_head(params["mlp"], hs).astype(jnp.float32)  # [B, V]
+        if greedy_mode:
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            key = c.key
+        else:
+            z = logits / jnp.float32(temperature)
+            if 0 < top_k < z.shape[-1]:
+                kth = jax.lax.top_k(z, top_k)[0][:, -1:]
+                z = jnp.where(z < kth, neg_inf, z)
+            if top_p < 1.0:
+                sorted_z = jnp.sort(z, axis=-1)[:, ::-1]
+                probs = jax.nn.softmax(sorted_z, axis=-1)
+                cum = jnp.cumsum(probs, axis=-1)
+                # keep the smallest prefix reaching top_p (always >= 1 token)
+                keep = jnp.concatenate(
+                    [jnp.ones_like(cum[:, :1], bool), cum[:, :-1] < top_p], axis=-1
+                )
+                cutoff = jnp.min(jnp.where(keep, sorted_z, jnp.inf), axis=-1, keepdims=True)
+                z = jnp.where(z < cutoff, neg_inf, z)
+            key, sub = jax.random.split(c.key)
+            pred = jax.random.categorical(sub, z, axis=-1).astype(jnp.int32)
+        finished = jnp.logical_or(pred == eos_token, c.finished)
+        write = ~jnp.all(finished)
+        captions = jnp.where(
+            write, c.captions.at[:, c.step + 1].set(pred), c.captions
+        )
+        return _SampleCarry(captions, finished, cache, key, c.step + 1)
+
+    init = _SampleCarry(captions, jnp.zeros((b,), bool), cache, key, jnp.int32(0))
+    with matmul_precision(memory.dtype):
+        out = jax.lax.while_loop(cond, body, init)
+    return out.captions
+
+
+# ---------------------------------------------------------------------------------
 # Beam search (north-star extension; not in the reference)
 # ---------------------------------------------------------------------------------
 

@@ -165,6 +165,38 @@ def test_prune_token_ids_matches_reference_semantics():
     assert out_raw == [[101, 5, 6, 102], [101, 7, 7, 7, 7, 7], [101, 102]]
 
 
+def test_sample_greedy_limits_and_validity():
+    """temperature=0 and top_k=1 reduce exactly to greedy; stochastic draws stay
+    inside the top-k set and are reproducible per PRNG key."""
+    cfg = tiny_cfg()
+    _, params = make_oracle(cfg, seed=11)
+    b = 3
+    img, mask = make_image_batch(b, cfg.image_size, seed=11)
+    samples = Masked(jnp.asarray(img.numpy()), jnp.asarray(mask.numpy()))
+    bos, eos = 90, 91
+    common = dict(max_len=cfg.max_position_embeddings, bos_token=bos, eos_token=eos)
+
+    ref = np.asarray(decode.greedy(params, cfg, samples, **common))
+    for kw in (dict(temperature=0.0), dict(top_k=1, temperature=0.7)):
+        got = decode.sample(params, cfg, samples, jax.random.key(0), **common, **kw)
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+    s1 = np.asarray(decode.sample(params, cfg, samples, jax.random.key(1),
+                                  temperature=1.0, top_k=8, **common))
+    s2 = np.asarray(decode.sample(params, cfg, samples, jax.random.key(1),
+                                  temperature=1.0, top_k=8, **common))
+    np.testing.assert_array_equal(s1, s2)  # deterministic per key
+    assert s1.shape == ref.shape and s1.dtype == np.int32
+
+    s3 = np.asarray(decode.sample(params, cfg, samples, jax.random.key(2),
+                                  temperature=1.0, top_p=0.9, **common))
+    assert s3.shape == ref.shape
+    # nucleus with top_p -> 0 keeps only the argmax token: equals greedy
+    s4 = np.asarray(decode.sample(params, cfg, samples, jax.random.key(3),
+                                  temperature=1.0, top_p=1e-9, **common))
+    np.testing.assert_array_equal(s4, ref)
+
+
 def test_beam_search_beats_or_matches_greedy_score():
     cfg = tiny_cfg()
     _, params = make_oracle(cfg, seed=9)

@@ -137,6 +137,29 @@ def test_build_dataset_and_loader(cfg):
     np.testing.assert_array_equal(batches[0].ann_ids, list(loader2)[0].ann_ids)
 
 
+def test_loader_propagates_worker_errors(cfg):
+    """A failing __getitem__ (e.g. corrupt image) must raise in the consumer, not
+    deadlock the prefetch queue."""
+    tok, _, _ = prepare_tokenizer()
+    ds = ds_mod.build_dataset(cfg, "training", tokenizer=tok)
+
+    class Broken:
+        dataset = ds
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise OSError("corrupt image")
+            return ds[i]
+
+        def __len__(self):
+            return len(ds)
+
+    broken = Broken()
+    loader = ds_mod.DataLoader(broken, batch_size=2, num_workers=2)
+    with pytest.raises(OSError, match="corrupt image"):
+        list(loader)
+
+
 def test_return_unique(cfg):
     tok, _, _ = prepare_tokenizer()
     ds_all = ds_mod.build_dataset(cfg, "training", tokenizer=tok)

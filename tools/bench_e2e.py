@@ -92,6 +92,8 @@ def main():
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
                     help="compute_dtype for the eval decode; bfloat16 is the "
                     "validated-fastest benchmark mode (docs/AB_BF16.json)")
+    ap.add_argument("--depth", type=int, default=2,
+                    help="eval_model pipeline_depth (batches in flight)")
     args = ap.parse_args()
 
     coco_dir, ref_dir = make_fixture(args.fixture_dir, args.images)
@@ -129,13 +131,15 @@ def main():
     loader = ds.DataLoader(dataset, cfg.batch_size, num_workers=cfg.num_workers)
 
     # warmup epoch: compile decode + device pipeline, warm the page cache
-    engine.eval_model(params, cfg, loader, tok, decoder=args.decoder)
+    engine.eval_model(params, cfg, loader, tok, decoder=args.decoder,
+                      pipeline_depth=args.depth)
 
     timer = PhaseTimer()
     t0 = time.perf_counter()
     with timer.phase("eval_total"):
         metrics, hyps = engine.eval_model(
-            params, cfg, loader, tok, decoder=args.decoder, timer=timer
+            params, cfg, loader, tok, decoder=args.decoder, timer=timer,
+            pipeline_depth=args.depth,
         )
     wall = time.perf_counter() - t0
     n = len(hyps)

@@ -134,6 +134,36 @@ def main():
         "captions_per_sec": 128 / t,
     }
 
+    # 8 (extra): the REAL training epoch loop (host batches + device_batch upload +
+    # pipelined loss drain) — what a user's samples/s actually is, vs the raw step
+    # of config 6.
+    import time as _time
+
+    from retr_tpu import engine
+    from retr_tpu.data.dataset import HostBatch
+
+    hb = HostBatch(
+        ann_ids=np.arange(BATCH),
+        target_images=rng.integers(0, 256, (BATCH, IMAGE, IMAGE, 3), dtype=np.uint8),
+        target_masks=np.zeros((BATCH, IMAGE, IMAGE), bool),
+        caps=np.asarray(rng.integers(1, cfg.vocab_size, (BATCH, t_cap)), np.int32),
+        cap_masks=np.zeros((BATCH, t_cap), bool),
+    )
+    step_d = tstate.make_train_step(cfg, tx)  # donating step, as main.py uses
+    state8 = tstate.TrainState(params, tx.init(params), jax.numpy.int32(0))
+    state8, _ = engine.train_one_epoch(state8, step_d, [hb] * 3, jax.random.key(1))
+    n_steps = 10
+    t0 = _time.perf_counter()
+    state8, loss8 = engine.train_one_epoch(
+        state8, step_d, [hb] * n_steps, jax.random.key(1)
+    )
+    dt = (_time.perf_counter() - t0) / n_steps
+    results["8_train_epoch_loop_batch32"] = {
+        "step_s": dt,
+        "samples_per_sec": BATCH / dt,
+        "loss_finite": bool(np.isfinite(loss8)),
+    }
+
     results["reference_cpu_baseline_captions_per_sec"] = measure_torch_baseline()
     results["compute_dtype"] = cfg.compute_dtype
     results["device"] = str(jax.devices()[0])
