@@ -94,6 +94,11 @@ class Config:
     # Beam search (north-star extension; the reference is greedy-only).
     beam_size: int = 5
     length_penalty: float = 1.0          # score / length**length_penalty
+    # Stochastic sampling decoder (extension; decode.sample). temperature=0 or
+    # top_k=1 reduce exactly to greedy; top_k=0 / top_p=1.0 disable the filters.
+    sample_temperature: float = 1.0
+    sample_top_k: int = 0
+    sample_top_p: float = 1.0
     # Path to a BERT-style WordPiece vocab file; empty → synthetic test vocab.
     vocab_file: str = ""
     # Mesh axes for the multi-chip path: data-parallel x model-parallel.

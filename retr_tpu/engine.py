@@ -149,8 +149,10 @@ def eval_model(
 ) -> Tuple[Dict[str, float], List[dict]]:
     """Greedy-decode the loader's dataset and score with the NLG suite.
 
-    ``decoder='beam'`` swaps in beam search (beam_size/length_penalty from cfg) —
-    a north-star extension; the reference is greedy-only. Pass a
+    ``decoder='beam'`` swaps in beam search (beam_size/length_penalty from cfg) and
+    ``decoder='sample'`` stochastic sampling (sample_temperature/sample_top_k/
+    sample_top_p from cfg, PRNG seeded from cfg.seed per batch) — north-star
+    extensions; the reference is greedy-only. Pass a
     utils.profiling.PhaseTimer as ``timer`` for input/decode/fetch phase breakdowns
     (the expressions/sec + p50 instrumentation the north-star metric needs).
 
@@ -197,9 +199,23 @@ def eval_model(
                     beam_size=cfg.beam_size, length_penalty=cfg.length_penalty,
                 )
                 ids = tokens[:, 0]
+            elif decoder == "sample":
+                # deterministic per (cfg.seed, batch index): reruns reproduce
+                key = jax.random.fold_in(jax.random.key(cfg.seed), dispatch.counter)
+                dispatch.counter += 1
+                ids = decode_mod.sample(
+                    params, cfg, samples, key,
+                    global_samples=g, loc_feats=batch.loc_feats,
+                    max_len=cfg.max_position_embeddings,
+                    bos_token=bos_id, eos_token=eos_id, compute_dtype=compute_dtype,
+                    temperature=cfg.sample_temperature,
+                    top_k=cfg.sample_top_k, top_p=cfg.sample_top_p,
+                )
             else:
                 raise ValueError(f"unknown decoder {decoder!r}")
         return ids, host_batch
+
+    dispatch.counter = 0  # batch index for the sampling decoder's PRNG stream
 
     def collect(entry):
         ids_dev, host_batch = entry

@@ -4,7 +4,7 @@ Reference: eval_model.py:103-146. Same surface:
 
     python -m retr_tpu.eval_model --split {val,testa,testb,test} --checkpoint PATH
         [--print_samples] [--store_results] [--override_config]
-        [--decoder {greedy,beam}] [--config path.json]
+        [--decoder {greedy,beam,sample}] [--config path.json]
 
 - retr_tpu checkpoints carry their config; ``--override_config`` loads it
   (replacing the reference's filename sniffing, eval_model.py:49-82).
@@ -12,7 +12,8 @@ Reference: eval_model.py:103-146. Same surface:
   reference's filename-substring override applied for variant flags.
 - ``--store_results`` writes generated expressions + metrics JSON under
   ``<project_data_path>/results/`` (eval_model.py:128-146).
-- ``--decoder beam`` adds beam-search evaluation (north-star extension).
+- ``--decoder beam`` adds beam-search evaluation; ``--decoder sample``
+  stochastic sampling (cfg sample_* knobs) — north-star extensions.
 """
 
 from __future__ import annotations
@@ -78,7 +79,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--store_results", action="store_true")
     ap.add_argument("--override_config", action="store_true",
                     help="take model-variant config from the checkpoint")
-    ap.add_argument("--decoder", default="greedy", choices=["greedy", "beam"])
+    ap.add_argument("--decoder", default="greedy",
+                choices=["greedy", "beam", "sample"])
     return ap
 
 

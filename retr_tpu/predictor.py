@@ -75,21 +75,35 @@ class Predictor:
         return cls(state.params, cfg, **kw)
 
     # -- inference ------------------------------------------------------------------
-    def predict(self, image, bbox, *, beam: bool = False) -> str:
-        return self.predict_batch([image], [bbox], beam=beam)[0]
+    def predict(self, image, bbox, *, beam: bool = False,
+                decoder: str = "greedy", seed: int = 0) -> str:
+        return self.predict_batch([image], [bbox], beam=beam, decoder=decoder,
+                                  seed=seed)[0]
 
     def predict_batch(
-        self, images: Sequence, bboxes: Sequence, *, beam: bool = False
+        self, images: Sequence, bboxes: Sequence, *, beam: bool = False,
+        decoder: str = "greedy", seed: int = 0,
     ) -> List[str]:
-        """images: file paths or HWC uint8 arrays; bboxes: [x, y, w, h] each."""
+        """images: file paths or HWC uint8 arrays; bboxes: [x, y, w, h] each.
+
+        ``decoder``: 'greedy' | 'beam' | 'sample' (``beam=True`` is shorthand for
+        'beam'). 'sample' draws with the cfg sample_* knobs, deterministic per
+        ``seed`` and chunk index.
+        """
         assert len(images) == len(bboxes)
+        if beam:
+            decoder = "beam"
+        if decoder not in ("greedy", "beam", "sample"):
+            raise ValueError(f"unknown decoder {decoder!r}")
         out: List[str] = []
-        for i in range(0, len(images), self.max_batch):
+        for chunk, i in enumerate(range(0, len(images), self.max_batch)):
             out += self._run_chunk(images[i : i + self.max_batch],
-                                   bboxes[i : i + self.max_batch], beam)
+                                   bboxes[i : i + self.max_batch], decoder,
+                                   seed=seed, chunk=chunk)
         return out
 
-    def _run_chunk(self, images, bboxes, beam: bool) -> List[str]:
+    def _run_chunk(self, images, bboxes, decoder: str, *, seed: int = 0,
+                   chunk: int = 0) -> List[str]:
         samples = []
         for im, bb in zip(images, bboxes):
             arr = load_image(im) if isinstance(im, str) else np.asarray(im)
@@ -115,13 +129,21 @@ class Predictor:
             bos_token=self.bos, eos_token=self.eos,
             compute_dtype=jax.numpy.dtype(self.cfg.compute_dtype),
         )
-        if beam:
+        if decoder == "beam":
             tokens, _ = decode_mod.beam_search(
                 self.params, self.cfg, imgs,
                 beam_size=self.cfg.beam_size, length_penalty=self.cfg.length_penalty,
                 **common,
             )
             ids = tokens[:, 0]
+        elif decoder == "sample":
+            key = jax.random.fold_in(jax.random.key(seed), chunk)
+            ids = decode_mod.sample(
+                self.params, self.cfg, imgs, key,
+                temperature=self.cfg.sample_temperature,
+                top_k=self.cfg.sample_top_k, top_p=self.cfg.sample_top_p,
+                **common,
+            )
         else:
             ids = decode_mod.greedy(self.params, self.cfg, imgs, **common)
 
@@ -147,10 +169,10 @@ class ServingQueue:
     """
 
     def __init__(self, predictor: Predictor, *, max_wait_s: float = 0.01,
-                 beam: bool = False):
+                 beam: bool = False, decoder: str = "greedy"):
         self.predictor = predictor
         self.max_wait_s = max_wait_s
-        self.beam = beam
+        self.decoder = "beam" if beam else decoder
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -198,7 +220,7 @@ class ServingQueue:
             bboxes = [b[1] for b in batch]
             futs = [b[2] for b in batch]
             try:
-                texts = self.predictor.predict_batch(images, bboxes, beam=self.beam)
+                texts = self.predictor.predict_batch(images, bboxes, decoder=self.decoder)
             except Exception as exc:  # propagate per-request
                 for f in futs:
                     f.set_exception(exc)

@@ -93,6 +93,25 @@ def test_beam_eval_path(env):
     assert "CIDEr" in metrics
 
 
+def test_sample_eval_path(env):
+    """decoder='sample': temperature=0 reproduces greedy metrics+hypotheses exactly;
+    stochastic runs are reproducible (PRNG keyed on cfg.seed + batch index)."""
+    cfg, tok = env
+    cider_ds = ds.build_dataset(cfg, "training", tokenizer=tok, return_unique=True)
+    cider_loader = ds.DataLoader(cider_ds, cfg.batch_size, num_workers=2)
+    params, _ = caption.build_model(cfg, jax.random.key(2))
+
+    m_greedy, h_greedy = engine.eval_model(params, cfg, cider_loader, tok)
+    cfg0 = cfg.replace(sample_temperature=0.0)
+    m0, h0 = engine.eval_model(params, cfg0, cider_loader, tok, decoder="sample")
+    assert h0 == h_greedy and m0 == m_greedy
+
+    cfg1 = cfg.replace(sample_temperature=1.0, sample_top_k=8)
+    _, h1 = engine.eval_model(params, cfg1, cider_loader, tok, decoder="sample")
+    _, h2 = engine.eval_model(params, cfg1, cider_loader, tok, decoder="sample")
+    assert h1 == h2
+
+
 def test_reference_pth_import(env, tmp_path):
     """Save a reference-format torch checkpoint from the oracle; import; compare
     forward logits."""

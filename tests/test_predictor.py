@@ -38,6 +38,25 @@ def test_predict_beam(rng):
     assert isinstance(s, str)
 
 
+def test_predict_sample_decoder(rng):
+    """decoder='sample' at temperature=0 equals greedy; stochastic draws are
+    reproducible per seed; unknown decoders rejected."""
+    import pytest
+
+    pred = tiny_predictor(sample_temperature=0.0)
+    img = rng.integers(0, 256, (100, 120, 3), dtype=np.uint8)
+    bb = [10, 10, 50, 40]
+    assert pred.predict(img, bb, decoder="sample") == pred.predict(img, bb)
+
+    pred2 = tiny_predictor(sample_temperature=1.0, sample_top_k=8)
+    a = pred2.predict(img, bb, decoder="sample", seed=7)
+    b = pred2.predict(img, bb, decoder="sample", seed=7)
+    assert isinstance(a, str) and a == b
+
+    with pytest.raises(ValueError, match="unknown decoder"):
+        pred2.predict(img, bb, decoder="nope")
+
+
 def test_predict_loc_variant(rng):
     pred = tiny_predictor(use_location_features=True)
     img = rng.integers(0, 256, (90, 70, 3), dtype=np.uint8)

@@ -1,0 +1,150 @@
+"""Serving benchmark: ServingQueue under open-loop Poisson load -> latency percentiles.
+
+The north-star metric (BASELINE.md) is "expressions/sec/chip; p50 latency per
+caption". bench.py / bench_full.py measure batch throughput; this tool measures the
+SERVING view: concurrent single-request callers hitting the async micro-batcher
+(predictor.ServingQueue), which coalesces them into padded device batches. Arrivals
+are open-loop Poisson (exponential interarrival, seeded), so queueing delay is
+measured honestly — a closed loop would self-throttle and hide it.
+
+Per offered rate it reports: achieved throughput, p50/p95/p99 end-to-end latency
+(submit -> decoded string), and mean dispatch batch size. Mirrors the inference
+path a reference user would serve (/root/reference/eval_utils/decode.py:30-50
+greedy_single is their only single-request surface — one full model rerun per token).
+
+Usage:
+  python tools/bench_serving.py [--rates 20 50 100] [--requests 200]
+      [--max-batch 32] [--max-wait-s 0.01] [--ckpt DIR] [--dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench_e2e import make_fixture  # noqa: E402  (same synthetic JPEG fixture)
+
+
+def run_load(queue, paths, bboxes, rate: float, n_requests: int, seed: int = 0):
+    """Open-loop: submit n_requests at Poisson arrivals of `rate`/s; return
+    (latencies, wall, batch_sizes_seen)."""
+    rng = np.random.default_rng(seed)
+    inter = rng.exponential(1.0 / rate, size=n_requests)
+    lat = [None] * n_requests
+    t_submit = [0.0] * n_requests
+
+    def make_cb(i):
+        def cb(fut):
+            lat[i] = time.monotonic() - t_submit[i]
+        return cb
+
+    t0 = time.monotonic()
+    next_t = t0
+    futs = []
+    for i in range(n_requests):
+        next_t += inter[i]
+        delay = next_t - time.monotonic()
+        if delay > 0:
+            time.sleep(delay)
+        t_submit[i] = time.monotonic()
+        f = queue.submit(paths[i % len(paths)], bboxes[i % len(bboxes)])
+        f.add_done_callback(make_cb(i))
+        futs.append(f)
+    for f in futs:
+        f.result(timeout=600)
+    wall = time.monotonic() - t0
+    return np.asarray(lat, np.float64), wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rates", type=float, nargs="+", default=[20.0, 50.0, 100.0],
+                    help="offered request rates (req/s), measured one after another")
+    ap.add_argument("--requests", type=int, default=200)
+    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--max-wait-s", type=float, default=0.01)
+    ap.add_argument("--fixture-dir", default="/tmp/retr_e2e_fixture")
+    ap.add_argument("--images", type=int, default=32)
+    ap.add_argument("--backbone", default="ResNet50")
+    ap.add_argument("--decoder", default="greedy", choices=["greedy", "beam", "sample"])
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
+                    help="validated-fastest mode by default (docs/AB_BF16.json)")
+    ap.add_argument("--ckpt", default="", help="retr_tpu checkpoint dir; without it "
+                    "random weights decode the full 127 steps (worst case)")
+    args = ap.parse_args()
+
+    coco_dir, _ = make_fixture(args.fixture_dir, args.images)
+    img_dir = os.path.join(coco_dir, "train2014")
+    paths = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))[: args.images]
+    rng = np.random.default_rng(1)
+    bboxes = [[float(rng.uniform(2, 80)), float(rng.uniform(2, 80)),
+               float(rng.uniform(40, 160)), float(rng.uniform(40, 160))]
+              for _ in paths]
+
+    import jax
+
+    from retr_tpu.config import Config
+    from retr_tpu.data.tokenizer import prepare_tokenizer
+    from retr_tpu.models import caption
+    from retr_tpu.predictor import Predictor, ServingQueue
+
+    tok, _, _ = prepare_tokenizer()
+    if args.ckpt:
+        import jax.numpy as jnp
+
+        from retr_tpu.train import checkpoints as ckpt_mod
+        from retr_tpu.train.state import TrainState, make_optimizer
+
+        cfg = ckpt_mod.config_from_checkpoint(args.ckpt).replace(
+            compute_dtype=args.dtype, use_pallas_decode=True)
+        template_params, _ = caption.build_model(cfg, jax.random.key(0))
+        tx = make_optimizer(cfg, steps_per_epoch=1)
+        state, _ = ckpt_mod.load_checkpoint(
+            args.ckpt, TrainState(template_params, tx.init(template_params), jnp.int32(0)))
+        params = state.params
+    else:
+        cfg = Config(backbone=args.backbone, dilation=True, dropout=0.1,
+                     use_pallas_decode=True, compute_dtype=args.dtype,
+                     vocab_size=tok.vocab_size)
+        params, _ = caption.build_model(cfg, jax.random.key(0))
+
+    pred = Predictor(params, cfg, tok, max_batch=args.max_batch)
+    queue = ServingQueue(pred, max_wait_s=args.max_wait_s, decoder=args.decoder)
+
+    # warmup: compile the single padded program shape + warm the host path
+    pred.predict_batch([paths[0]] * 2, bboxes[:2], decoder=args.decoder)
+
+    results = []
+    for rate in args.rates:
+        lat, wall = run_load(queue, paths, bboxes, rate, args.requests)
+        results.append({
+            "offered_rate_rps": rate,
+            "achieved_rps": round(args.requests / wall, 2),
+            "p50_latency_s": round(float(np.percentile(lat, 50)), 4),
+            "p95_latency_s": round(float(np.percentile(lat, 95)), 4),
+            "p99_latency_s": round(float(np.percentile(lat, 99)), 4),
+            "mean_latency_s": round(float(lat.mean()), 4),
+        })
+    queue.close()
+
+    out = {
+        "metric": f"ServingQueue {args.decoder} ({args.dtype}, max_batch "
+                  f"{args.max_batch}, wait {args.max_wait_s * 1e3:.0f} ms, "
+                  f"{'trained ckpt' if args.ckpt else 'random weights/full 127 steps'})",
+        "requests_per_rate": args.requests,
+        "device": str(jax.devices()[0]),
+        "loads": results,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
