@@ -14,7 +14,9 @@ Here:
 - resume is wired for real: ``latest_checkpoint`` + restore give step-exact
   continuation (the reference declares config.start_epoch but never uses it);
 - ``import_reference_checkpoint`` converts a reference ``.pth`` (its
-  ``model_state_dict``) into our params for parity evaluation.
+  ``model_state_dict``) into our params for parity evaluation, and
+  ``export_reference_checkpoint`` writes our params back out as a reference-format
+  ``.pth`` (bit-exact round trip) so models trained here load in the reference.
 """
 
 from __future__ import annotations
@@ -136,3 +138,44 @@ def import_reference_checkpoint(pth_path: str, cfg: Config):
     return import_caption_model(np_state, cfg), {
         k: blob[k] for k in ("epoch", "train_loss", "val_loss", "cider_score") if k in blob
     }
+
+
+def export_reference_checkpoint(
+    params,
+    cfg: Config,
+    pth_path: str,
+    *,
+    epoch: int = 0,
+    train_loss: float = float("nan"),
+    val_loss: float = float("nan"),
+    cider_score: float = float("nan"),
+) -> str:
+    """Write our params as a reference-format ``.pth`` (train_utils/checkpoints.py:4-15
+    dict layout: model_state_dict + epoch/losses/CIDEr; optimizer and scheduler state
+    are framework-specific and saved empty — the reference's eval path reads only
+    ``model_state_dict``, eval_model.py:27-28).
+
+    The state dict round-trips bit-exactly through ``import_reference_checkpoint``
+    (BN folding inverse documented in models/torch_export.py). Requires torch on the
+    host; the framework's compute path never touches torch.
+    """
+    import torch
+
+    from retr_tpu.models.torch_export import export_caption_model
+
+    state_dict = {
+        k: torch.from_numpy(v.copy()) for k, v in export_caption_model(params, cfg).items()
+    }
+    torch.save(
+        {
+            "epoch": epoch,
+            "model_state_dict": state_dict,
+            "optimizer_state_dict": {},
+            "lr_scheduler_state_dict": {},
+            "train_loss": float(train_loss),
+            "val_loss": float(val_loss),
+            "cider_score": float(cider_score),
+        },
+        pth_path,
+    )
+    return pth_path

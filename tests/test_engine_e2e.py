@@ -204,3 +204,49 @@ def test_deterministic_resume(env, tmp_path):
         losses_b.append(float(l))
 
     assert losses_a[2:] == losses_b, (losses_a, losses_b)
+
+
+def test_export_reference_checkpoint_roundtrip(env, tmp_path):
+    """params -> reference .pth -> import is bit-exact (incl. the BN fold inverse),
+    and the exported model_state_dict loads strict=True into the reference-named
+    torch module tree (tests/torch_oracle.CaptionModel) — so reference users can
+    consume checkpoints trained here (eval_model.py:26-28)."""
+    cfg, _ = env
+    params, _ = caption.build_model(cfg, jax.random.key(5))
+    pth = str(tmp_path / "Concat_refcoco_checkpoint_3.pth")
+    ckpt.export_reference_checkpoint(params, cfg, pth, epoch=3, cider_score=0.5)
+
+    params2, meta = ckpt.import_reference_checkpoint(pth, cfg)
+    assert meta["epoch"] == 3 and meta["cider_score"] == 0.5
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(params2)}
+    assert len(flat1) == len(flat2)
+    for k, v in flat1:
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flat2[jax.tree_util.keystr(k)]), err_msg=str(k)
+        )
+
+    from tests import torch_oracle
+
+    tm = torch_oracle.CaptionModel(
+        backbone_name=cfg.backbone, dilation=cfg.dilation, vocab=cfg.vocab_size,
+        d=cfg.hidden_dim, h=cfg.nheads, nenc=cfg.enc_layers, ndec=cfg.dec_layers,
+        dff=cfg.dim_feedforward, max_pos=cfg.max_position_embeddings,
+    )
+    # the reference head is d->512->512->vocab (models/caption.py:21); the oracle's
+    # default is d->2d — swap in the reference-shaped head for the strict load
+    tm.mlp = torch_oracle.MLP(cfg.hidden_dim, 512, cfg.vocab_size)
+    blob = torch.load(pth, map_location="cpu", weights_only=False)
+    tm.load_state_dict(blob["model_state_dict"], strict=True)
+
+
+def test_export_reference_checkpoint_loc_variant(env, tmp_path):
+    cfg, _ = env
+    cfg_loc = cfg.replace(use_location_features=True)
+    params, _ = caption.build_model(cfg_loc, jax.random.key(6))
+    pth = str(tmp_path / "Concat_refcoco_loc_checkpoint_0.pth")
+    ckpt.export_reference_checkpoint(params, cfg_loc, pth)
+    params2, _ = ckpt.import_reference_checkpoint(pth, cfg_loc)
+    np.testing.assert_array_equal(
+        np.asarray(params["loc_proj"]["w"]), np.asarray(params2["loc_proj"]["w"])
+    )
