@@ -55,10 +55,16 @@ def eval_model_sharded(
     *,
     metrics_to_omit: Optional[List[str]] = None,
     return_hypotheses: bool = False,
+    decoder: str = "greedy",
 ) -> Dict[str, float]:
     """engine.eval_model with dp-sharded decode. Returns the metric dict
     (or ``(metrics, hypotheses)`` with ``return_hypotheses=True`` — used by the
-    driver dryrun to assert sharded == single-device tokens)."""
+    driver dryrun to assert sharded == single-device tokens).
+
+    ``decoder``: 'greedy' | 'beam' | 'sample' — same dispatch as engine.eval_model
+    (beam_size/length_penalty/sample_* from cfg). Beam tiles the sharded batch to
+    B*K rows and sampling's counter-based PRNG is sharding-invariant, so both
+    produce the same tokens as the single-device path (tests/test_sweep.py)."""
     from collections import defaultdict
 
     from retr_tpu import decode as decode_mod
@@ -81,7 +87,7 @@ def eval_model_sharded(
     full = ((loader.batch_size + dp - 1) // dp) * dp
 
     hypotheses, references = [], []
-    for host in loader:
+    for batch_i, host in enumerate(loader):
         true_b = host.target_images.shape[0]
         host_p = pad_host_batch(host, full)
         batch = shard_batch(device_batch(host_p, train=False), mesh)
@@ -89,11 +95,28 @@ def eval_model_sharded(
         g = Masked(batch.global_images, batch.global_masks) if batch.global_images is not None else None
         import jax.numpy as jnp
 
-        ids = decode_mod.greedy(
-            params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
+        common = dict(
+            global_samples=g, loc_feats=batch.loc_feats,
             max_len=cfg.max_position_embeddings, bos_token=bos_id, eos_token=eos_id,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
         )
+        if decoder == "greedy":
+            ids = decode_mod.greedy(params, cfg, samples, **common)
+        elif decoder == "beam":
+            tokens, _ = decode_mod.beam_search(
+                params, cfg, samples,
+                beam_size=cfg.beam_size, length_penalty=cfg.length_penalty, **common,
+            )
+            ids = tokens[:, 0]
+        elif decoder == "sample":
+            key = jax.random.fold_in(jax.random.key(cfg.seed), batch_i)
+            ids = decode_mod.sample(
+                params, cfg, samples, key,
+                temperature=cfg.sample_temperature,
+                top_k=cfg.sample_top_k, top_p=cfg.sample_top_p, **common,
+            )
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
         pruned = decode_mod.prune_token_ids(
             np.asarray(ids)[:true_b].tolist(), clean=True,
             pad_token=pad_id, bos_token=bos_id, eos_token=eos_id,
@@ -116,6 +139,7 @@ def full_eval_sweep(
     mesh,
     *,
     datasets: Dict[str, DataLoader],
+    decoder: str = "greedy",
 ) -> Dict[str, Dict[str, float]]:
     """Evaluate every (dataset/split) loader in ``datasets`` on the mesh.
 
@@ -123,6 +147,7 @@ def full_eval_sweep(
     build them with data.dataset.build_dataset per prefix/split.
     """
     return {
-        label: eval_model_sharded(params, base_cfg, loader, tokenizer, mesh)
+        label: eval_model_sharded(params, base_cfg, loader, tokenizer, mesh,
+                                  decoder=decoder)
         for label, loader in datasets.items()
     }

@@ -4,7 +4,8 @@ Runs the dp-mesh-sharded greedy eval over every requested dataset/split combinat
 
     python -m retr_tpu.sweep_cli --checkpoint PATH \
         --datasets refcoco:val,testa,testb refcoco+:val,testa,testb refcocog:val,test \
-        [--dp N] [--config cfg.json] [--out sweep_results.json]
+        [--dp N] [--decoder {greedy,beam,sample}] [--config cfg.json]
+        [--out sweep_results.json]
 
 Each prefix's annotations are expected under <ref_base>/<prefix>; splits follow the
 reference's partition names (testa/testb for refcoco/refcoco+, test for refcocog —
@@ -52,7 +53,8 @@ def main(args, config: Config):
             dataset, config.batch_size, num_workers=config.num_workers
         )
 
-    results = full_eval_sweep(params, config, tokenizer, mesh, datasets=loaders)
+    results = full_eval_sweep(params, config, tokenizer, mesh, datasets=loaders,
+                              decoder=args.decoder)
     print(json.dumps(results, indent=2))
     if args.out:
         with open(args.out, "w") as f:
@@ -67,6 +69,8 @@ def build_argparser():
     ap.add_argument("--datasets", nargs="+", default=["refcoco:val"],
                     help="prefix:split[,split...] per entry")
     ap.add_argument("--dp", type=int, default=0, help="dp mesh size (default: all devices)")
+    ap.add_argument("--decoder", default="greedy",
+                    choices=["greedy", "beam", "sample"])
     ap.add_argument("--out", default="", help="write results JSON here")
     ap.add_argument("--override_config", action="store_true")
     return ap

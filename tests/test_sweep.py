@@ -140,3 +140,24 @@ def test_greedy_under_tensor_parallel_mesh(tmp_path):
     sh_samples = Masked(*sweep.shard_batch(tuple(samples), mesh))
     got = np.asarray(decode.greedy(sharded, cfg, sh_samples, **kw))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_beam_and_sample_match_single_device(tmp_path):
+    """decoder='beam' and 'sample' through the dp-sharded sweep produce exactly the
+    single-device engine's hypotheses (beam tiles the sharded batch to B*K rows;
+    sampling's counter-based PRNG is sharding-invariant)."""
+    cfg, tok = make_env(tmp_path)
+    cfg = cfg.replace(beam_size=2, sample_temperature=1.0, sample_top_k=4)
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    dataset = ds.build_dataset(cfg, "training", tokenizer=tok, return_unique=True)
+    loader = ds.DataLoader(dataset, cfg.batch_size, num_workers=2)
+
+    from retr_tpu import engine
+
+    mesh = pmesh.make_mesh(dp=4, mp=1)
+    for decoder in ("beam", "sample"):
+        _, ref_hyps = engine.eval_model(params, cfg, loader, tok, decoder=decoder)
+        _, got_hyps = sweep.eval_model_sharded(
+            params, cfg, loader, tok, mesh, decoder=decoder, return_hypotheses=True
+        )
+        assert [h["expression"] for h in ref_hyps] == got_hyps, decoder
