@@ -99,6 +99,10 @@ class Config:
     sample_temperature: float = 1.0
     sample_top_k: int = 0
     sample_top_p: float = 1.0
+    # Gradient accumulation: micro-batches per optimizer update (train.state).
+    # >1 shrinks the activation footprint by the factor; the update equals the
+    # full-batch step (loss is a mean over rows). batch_size must be divisible.
+    grad_accum_steps: int = 1
     # Path to a BERT-style WordPiece vocab file; empty → synthetic test vocab.
     vocab_file: str = ""
     # Mesh axes for the multi-chip path: data-parallel x model-parallel.

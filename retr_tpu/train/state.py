@@ -162,22 +162,67 @@ def make_train_step(
     *,
     compute_dtype=None,
     donate: bool = True,
+    accum_steps: Optional[int] = None,
 ) -> Callable:
     """Build the jit-compiled training step: grads -> clip -> AdamW -> apply.
 
     ``compute_dtype`` defaults to ``cfg.compute_dtype`` (f32 = parity mode,
-    bf16 = throughput mode; weights/optimizer state stay f32 either way)."""
+    bf16 = throughput mode; weights/optimizer state stay f32 either way).
+
+    ``accum_steps`` (default ``cfg.grad_accum_steps``) > 1 splits the batch into
+    that many micro-batches and accumulates gradients over a ``lax.scan`` before
+    the single optimizer update — the activation footprint shrinks by the factor
+    while the update matches the full-batch step (the loss is a mean over rows,
+    so the mean of equal-size micro-gradients IS the full-batch gradient;
+    clipping/AdamW see identical inputs up to float addition order). Use it to
+    train batch sizes whose activations don't fit HBM. The batch dim must be
+    divisible by ``accum_steps``."""
     if compute_dtype is None:
         compute_dtype = jnp.dtype(cfg.compute_dtype)
+    if accum_steps is None:
+        accum_steps = cfg.grad_accum_steps
 
-    def step(state: TrainState, batch: Batch, key) -> Tuple[TrainState, jax.Array]:
-        step_key = jax.random.fold_in(key, state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, cfg, batch, step_key, train=True, compute_dtype=compute_dtype
-        )
+    def update_from(state: TrainState, grads, loss) -> Tuple[TrainState, jax.Array]:
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
+
+    if accum_steps == 1:
+        def step(state: TrainState, batch: Batch, key) -> Tuple[TrainState, jax.Array]:
+            step_key = jax.random.fold_in(key, state.step)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, cfg, batch, step_key, train=True, compute_dtype=compute_dtype
+            )
+            return update_from(state, grads, loss)
+    else:
+        def step(state: TrainState, batch: Batch, key) -> Tuple[TrainState, jax.Array]:
+            b = batch.images.shape[0]
+            if b % accum_steps:
+                raise ValueError(f"batch {b} not divisible by accum_steps {accum_steps}")
+            step_key = jax.random.fold_in(key, state.step)
+
+            def split(x):
+                return x.reshape(accum_steps, b // accum_steps, *x.shape[1:])
+
+            micro = jax.tree.map(split, batch)
+
+            def body(carry, xs):
+                g_acc, l_acc = carry
+                mbatch, i = xs
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, cfg, mbatch, jax.random.fold_in(step_key, i),
+                    train=True, compute_dtype=compute_dtype,
+                )
+                return (jax.tree.map(jnp.add, g_acc, grads), l_acc + loss), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, l_sum), _ = jax.lax.scan(
+                body, (zeros, jnp.float32(0.0)), (micro, jnp.arange(accum_steps))
+            )
+            inv = 1.0 / accum_steps
+            return update_from(
+                state, jax.tree.map(lambda g: g * inv, g_sum), l_sum * inv
+            )
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

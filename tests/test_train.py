@@ -146,3 +146,42 @@ def test_nonfinite_loss_detection():
             engine.train_one_epoch(state, step, OneBatchLoader(), jax.random.key(0))
     finally:
         engine.device_batch = orig
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=2 produces the same loss and post-step params as the one-shot
+    step (loss is a mean over rows, so averaged micro-grads == full-batch grads;
+    dropout off so PRNG micro-keys are inert)."""
+    cfg = tiny_cfg(dropout=0.0)
+    params, _ = __import__("retr_tpu.models.caption", fromlist=["x"]).build_model(
+        cfg, jax.random.key(0)
+    )
+    tx = tstate.make_optimizer(cfg, steps_per_epoch=100)
+    batch = synth_batch(cfg, b=4)
+    key = jax.random.key(1)
+
+    s1 = tstate.TrainState(params, tx.init(params), jnp.int32(0))
+    s2 = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x, s1)
+    step1 = tstate.make_train_step(cfg, tx, donate=False)
+    step2 = tstate.make_train_step(cfg, tx, donate=False, accum_steps=2)
+
+    out1, loss1 = step1(s1, batch, key)
+    out2, loss2 = step2(s2, batch, key)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    for (k1, a), (k2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(out1.params),
+        jax.tree_util.tree_leaves_with_path(out2.params),
+    ):
+        # Adam divides by sqrt(v)+eps, amplifying micro-grad addition-order noise;
+        # 1e-4/2e-6 absorbs that while still pinning the update itself.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-6, err_msg=str(k1)
+        )
+
+    # cfg knob flows through the default
+    step3 = tstate.make_train_step(cfg.replace(grad_accum_steps=2), tx, donate=False)
+    _, loss3 = step3(jax.tree.map(lambda x: x, s1), batch, key)
+    np.testing.assert_allclose(float(loss3), float(loss2), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        tstate.make_train_step(cfg, tx, donate=False, accum_steps=3)(s1, batch, key)
