@@ -66,6 +66,20 @@ def pack_encoder_inputs(encoder_input, global_features: bool, location_features:
     return masked(t_img, t_mask), masked(g_img, g_mask), jnp.asarray(l_feats)
 
 
+def _shard_batch_on(mesh, batch):
+    """dp-shard a device batch over `mesh` (no-op without one). Ragged batches —
+    a trailing loader batch whose size isn't dp-divisible — are replicated
+    instead: value-identical, just not split."""
+    if mesh is None:
+        return batch
+    from retr_tpu.parallel.mesh import batch_shard_tree, replicated
+
+    b = batch.images.shape[0]
+    if b % mesh.shape["dp"]:
+        return jax.device_put(batch, jax.tree.map(lambda _: replicated(mesh), batch))
+    return jax.device_put(batch, batch_shard_tree(mesh, batch))
+
+
 def train_one_epoch(
     state: TrainState,
     step_fn,
@@ -75,8 +89,13 @@ def train_one_epoch(
     epoch: int = 0,
     logger: Optional[MetricLogger] = None,
     pipeline_depth: int = 2,
+    mesh=None,
 ) -> Tuple[TrainState, float]:
     """One training epoch (reference engine.py:52-87).
+
+    With ``mesh``, each uploaded batch is dp-sharded over it (ragged trailing
+    batches are replicated instead — value-identical, just unsharded), so the jit
+    step runs SPMD across the mesh; pass params already sharded (parallel.mesh).
 
     The loss fetch is pipelined ``pipeline_depth`` steps behind the dispatch: JAX
     dispatch is async, so the host enqueues step n+1 while step n executes, and the
@@ -106,6 +125,7 @@ def train_one_epoch(
 
     for host_batch in loader:
         batch = device_batch(host_batch, train=True, key=jax.random.fold_in(epoch_key, n))
+        batch = _shard_batch_on(mesh, batch)
         state, loss = step_fn(state, batch, epoch_key)
         n += 1
         pending.append((step0 + n, loss))
@@ -116,14 +136,14 @@ def train_one_epoch(
     return state, epoch_loss / max(n, 1)
 
 
-def evaluate(params, cfg: Config, loader: DataLoader, *, eval_step=None) -> float:
+def evaluate(params, cfg: Config, loader: DataLoader, *, eval_step=None, mesh=None) -> float:
     """Validation loss (reference engine.py:89-114); per-batch loss fetches are
     drained one batch behind the dispatch so the transport round trip overlaps."""
     if eval_step is None:
         eval_step = make_eval_step(cfg)
     losses = []
     for host_batch in loader:
-        batch = device_batch(host_batch, train=False)
+        batch = _shard_batch_on(mesh, device_batch(host_batch, train=False))
         losses.append(eval_step(params, batch))
         if len(losses) > 1:
             losses[-2] = float(losses[-2])

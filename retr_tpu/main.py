@@ -43,6 +43,18 @@ def main(config: Config, resume: bool = False) -> None:
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logger.log("init", n_parameters=int(n_params), config=config.to_dict())
 
+    # multi-chip: cfg.dp_size x cfg.mp_size mesh — params sharded once here, every
+    # batch dp-sharded in the epoch loops, CIDEr eval through the sharded sweep.
+    # The reference is strictly single-device (SURVEY.md §2.2).
+    mesh = None
+    if config.dp_size * config.mp_size > 1:
+        from retr_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(dp=config.dp_size, mp=config.mp_size)
+        params = pmesh.shard_params(params, mesh)
+        logger.log("mesh", dp=config.dp_size, mp=config.mp_size,
+                   devices=len(jax.devices()))
+
     tokenizer, _, _ = prepare_tokenizer(config.vocab_file)
 
     dataset_train = ds.build_dataset(config, "training", tokenizer=tokenizer)
@@ -75,10 +87,18 @@ def main(config: Config, resume: bool = False) -> None:
     for epoch in range(start_epoch, config.epochs):
         logger.log("epoch_start", epoch=epoch)
         state, epoch_loss = train_one_epoch(
-            state, train_step, loader_train, key, epoch=epoch, logger=logger
+            state, train_step, loader_train, key, epoch=epoch, logger=logger, mesh=mesh
         )
-        validation_loss = evaluate(state.params, config, loader_val, eval_step=eval_step)
-        eval_results, _ = eval_model(state.params, config, loader_cider, tokenizer)
+        validation_loss = evaluate(state.params, config, loader_val, eval_step=eval_step,
+                                   mesh=mesh)
+        if mesh is not None:
+            from retr_tpu.parallel.sweep import eval_model_sharded
+
+            eval_results = eval_model_sharded(
+                state.params, config, loader_cider, tokenizer, mesh
+            )
+        else:
+            eval_results, _ = eval_model(state.params, config, loader_cider, tokenizer)
         cider_score = eval_results["CIDEr"]
         logger.log(
             "epoch_end", epoch=epoch, train_loss=epoch_loss,

@@ -73,7 +73,9 @@ def eval_model_sharded(
     from retr_tpu.masking import Masked
     from retr_tpu.metrics import NLGEval
 
-    params = jax.device_put(params, replicated(mesh))
+    leaf = jax.tree.leaves(params)[0]
+    if not (hasattr(leaf, "sharding") and getattr(leaf.sharding, "mesh", None) == mesh):
+        params = jax.device_put(params, replicated(mesh))  # keep pre-sharded (mp) params
 
     annotations = defaultdict(list)
     for a in loader.dataset.annot:
