@@ -104,6 +104,14 @@ class Predictor:
 
     def _run_chunk(self, images, bboxes, decoder: str, *, seed: int = 0,
                    chunk: int = 0) -> List[str]:
+        return self._collect(*self._dispatch(images, bboxes, decoder, seed=seed,
+                                             chunk=chunk))
+
+    def _dispatch(self, images, bboxes, decoder: str, *, seed: int = 0,
+                  chunk: int = 0):
+        """Preprocess + launch the decode; returns (device ids, true_n) WITHOUT
+        blocking on the result (the host fetch in _collect is the only barrier),
+        so callers can keep batching while the device computes."""
         samples = []
         for im, bb in zip(images, bboxes):
             arr = load_image(im) if isinstance(im, str) else np.asarray(im)
@@ -146,7 +154,9 @@ class Predictor:
             )
         else:
             ids = decode_mod.greedy(self.params, self.cfg, imgs, **common)
+        return ids, true_n
 
+    def _collect(self, ids, true_n: int) -> List[str]:
         pruned = decode_mod.prune_token_ids(
             np.asarray(ids)[:true_n].tolist(), clean=True,
             pad_token=self.pad, bos_token=self.bos, eos_token=self.eos,
@@ -155,12 +165,22 @@ class Predictor:
 
 
 class ServingQueue:
-    """Async dynamic batcher over a Predictor.
+    """Async dynamic batcher over a Predictor, pipelined dispatch/collect.
 
     Requests submitted from any thread are coalesced into device batches of up to
     `predictor.max_batch`; a dispatch fires as soon as the batch is full or the
     oldest queued request has waited `max_wait_s`. Each `submit` returns a
     `concurrent.futures.Future[str]`.
+
+    Two stages run concurrently: the DISPATCHER preprocesses + launches decodes
+    (non-blocking — the host fetch is the only real barrier on TPU) and the
+    COLLECTOR fetches tokens + detokenizes + resolves futures. Up to
+    ``pipeline_depth`` batches stay in flight; when the device is the bottleneck
+    the bounded flight queue back-pressures the dispatcher, whose next batching
+    window then keeps filling — batch sizes adapt to load automatically instead
+    of being capped at what arrives within ``max_wait_s`` (the serial design
+    saturated at ~80 req/s because 10 ms windows coalesce only 2-3 requests at
+    200 req/s offered; see docs/PERF.md).
 
         q = ServingQueue(pred)
         futs = [q.submit(img, bbox) for img, bbox in requests]
@@ -169,14 +189,18 @@ class ServingQueue:
     """
 
     def __init__(self, predictor: Predictor, *, max_wait_s: float = 0.01,
-                 beam: bool = False, decoder: str = "greedy"):
+                 beam: bool = False, decoder: str = "greedy",
+                 pipeline_depth: int = 2):
         self.predictor = predictor
         self.max_wait_s = max_wait_s
         self.decoder = "beam" if beam else decoder
         self._q: "queue.Queue" = queue.Queue()
+        self._flight: "queue.Queue" = queue.Queue(maxsize=max(pipeline_depth, 1))
         self._closed = False
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._collector = threading.Thread(target=self._collect_loop, daemon=True)
+        self._dispatcher.start()
+        self._collector.start()
 
     def submit(self, image, bbox) -> "Future[str]":
         if self._closed:
@@ -186,11 +210,12 @@ class ServingQueue:
         return fut
 
     def close(self, *, wait: bool = True) -> None:
-        """Stop accepting requests; drain what is queued, then stop the worker."""
+        """Stop accepting requests; drain what is queued, then stop the workers."""
         self._closed = True
         self._q.put(None)
         if wait:
-            self._worker.join()
+            self._dispatcher.join()
+            self._collector.join()
 
     def _next_batch(self) -> Optional[list]:
         """Block for the first request, then coalesce until full or max_wait_s."""
@@ -211,17 +236,36 @@ class ServingQueue:
             batch.append(item)
         return batch
 
-    def _run(self) -> None:
+    def _dispatch_loop(self) -> None:
+        chunk = 0
         while True:
             batch = self._next_batch()
             if batch is None:
+                self._flight.put(None)  # collector shutdown
                 return
             images = [b[0] for b in batch]
             bboxes = [b[1] for b in batch]
             futs = [b[2] for b in batch]
             try:
-                texts = self.predictor.predict_batch(images, bboxes, decoder=self.decoder)
-            except Exception as exc:  # propagate per-request
+                ids, true_n = self.predictor._dispatch(
+                    images, bboxes, self.decoder, chunk=chunk
+                )
+                chunk += 1
+            except Exception as exc:  # preprocessing/dispatch failure: per-request
+                for f in futs:
+                    f.set_exception(exc)
+                continue
+            self._flight.put((ids, true_n, futs))  # blocks at depth -> backpressure
+
+    def _collect_loop(self) -> None:
+        while True:
+            item = self._flight.get()
+            if item is None:
+                return
+            ids, true_n, futs = item
+            try:
+                texts = self.predictor._collect(ids, true_n)
+            except Exception as exc:
                 for f in futs:
                     f.set_exception(exc)
                 continue
