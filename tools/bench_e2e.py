@@ -40,14 +40,18 @@ CAPTIONS = [
 
 def make_fixture(root: str, n_images: int, seed: int = 0):
     """Synthetic RefCOCO at realistic image sizes; every ann is its own image
-    (worst case for decode-cache reuse). Cached across runs."""
+    (worst case for decode-cache reuse). Cached across runs; the whole fixture
+    lives under a per-n_images subdir so different sizes never clobber each
+    other's annotation files (a shared dir once left 96-image runs scoring a
+    32-ann instances.json)."""
     import pickle
 
     from PIL import Image
 
-    coco_dir = os.path.join(root, "coco")
-    ref_dir = os.path.join(root, "refs", "refcoco")
-    stamp = os.path.join(root, f"ok_{n_images}")
+    base = os.path.join(root, f"n{n_images}")
+    coco_dir = os.path.join(base, "coco")
+    ref_dir = os.path.join(base, "refs", "refcoco")
+    stamp = os.path.join(base, f"ok_{n_images}")
     if os.path.exists(stamp):
         return coco_dir, ref_dir
     os.makedirs(os.path.join(coco_dir, "train2014"), exist_ok=True)
@@ -94,6 +98,9 @@ def main():
                     "validated-fastest benchmark mode (docs/AB_BF16.json)")
     ap.add_argument("--depth", type=int, default=2,
                     help="eval_model pipeline_depth (batches in flight)")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="timed epochs; reports the median (the tunnel's "
+                    "per-batch round trip varies 2x across minutes)")
     args = ap.parse_args()
 
     coco_dir, ref_dir = make_fixture(args.fixture_dir, args.images)
@@ -134,14 +141,18 @@ def main():
     engine.eval_model(params, cfg, loader, tok, decoder=args.decoder,
                       pipeline_depth=args.depth)
 
-    timer = PhaseTimer()
-    t0 = time.perf_counter()
-    with timer.phase("eval_total"):
-        metrics, hyps = engine.eval_model(
-            params, cfg, loader, tok, decoder=args.decoder, timer=timer,
-            pipeline_depth=args.depth,
-        )
-    wall = time.perf_counter() - t0
+    runs = []
+    for _ in range(max(args.reps, 1)):
+        timer = PhaseTimer()
+        t0 = time.perf_counter()
+        with timer.phase("eval_total"):
+            metrics, hyps = engine.eval_model(
+                params, cfg, loader, tok, decoder=args.decoder, timer=timer,
+                pipeline_depth=args.depth,
+            )
+        runs.append((time.perf_counter() - t0, timer, metrics, hyps))
+    runs.sort(key=lambda r: r[0])
+    wall, timer, metrics, hyps = runs[len(runs) // 2]  # median epoch
     n = len(hyps)
 
     s = timer.summary()
