@@ -102,6 +102,39 @@ class Predictor:
                                    seed=seed, chunk=chunk)
         return out
 
+    def predict_with_attention(self, image, bbox):
+        """Single-request decode + attention maps (the reference's greedy_with_att,
+        eval_utils/decode.py:131-167, as a serving API): returns
+        ``(expression, atts)`` with atts mapping enc_tc_self_att /
+        dec_exp_self_att / dec_exp_tc_cross_att to ``[layers, T, S]``-shaped
+        numpy stacks for this sample (batch dim removed). Runs at batch 1 — an
+        analysis path, compiled separately from the serving batch shape."""
+        arr = load_image(image) if isinstance(image, str) else np.asarray(image)
+        sample = preprocess_sample(
+            arr, bbox, "", self.tokenizer,
+            image_size=self.cfg.image_size,
+            max_length=self.cfg.max_position_embeddings,
+            use_global=self.cfg.use_global_features,
+            use_location=self.cfg.use_location_features,
+        )
+        batch = device_batch(collate([sample]), train=False)
+        imgs = Masked(batch.images, batch.image_masks)
+        g = (Masked(batch.global_images, batch.global_masks)
+             if batch.global_images is not None else None)
+        ids, atts = decode_mod.greedy_with_attention(
+            self.params, self.cfg, imgs,
+            global_samples=g, loc_feats=batch.loc_feats,
+            max_len=self.cfg.max_position_embeddings,
+            bos_token=self.bos, eos_token=self.eos,
+            compute_dtype=jax.numpy.dtype(self.cfg.compute_dtype),
+        )
+        pruned = decode_mod.prune_token_ids(
+            np.asarray(ids).tolist(), clean=True,
+            pad_token=self.pad, bos_token=self.bos, eos_token=self.eos,
+        )
+        text = self.tokenizer.batch_decode(pruned)[0]
+        return text, {k: np.asarray(v)[:, 0] for k, v in atts.items()}
+
     def _run_chunk(self, images, bboxes, decoder: str, *, seed: int = 0,
                    chunk: int = 0) -> List[str]:
         return self._collect(*self._dispatch(images, bboxes, decoder, seed=seed,

@@ -122,3 +122,18 @@ def test_refcocog_refs_filename(tmp_path):
     rows, ids = ann_mod.get_refcoco_data(str(d))
     assert rows[0]["caption"] == "a thing"
     assert ids["caption_ids"]["train"] == [0]
+
+
+def test_predict_with_attention(rng):
+    pred = tiny_predictor()
+    img = rng.integers(0, 256, (90, 100, 3), dtype=np.uint8)
+    text, atts = pred.predict_with_attention(img, [8, 8, 50, 40])
+    assert isinstance(text, str)
+    assert set(atts) == {"enc_tc_self_att", "dec_exp_self_att", "dec_exp_tc_cross_att"}
+    cfg = pred.cfg
+    T, S = cfg.max_position_embeddings, (cfg.image_size // 32) ** 2
+    assert atts["enc_tc_self_att"].shape == (cfg.enc_layers, S, S)
+    assert atts["dec_exp_self_att"].shape == (cfg.dec_layers, T, T)
+    assert atts["dec_exp_tc_cross_att"].shape == (cfg.dec_layers, T, S)
+    # rows are softmax distributions over unmasked positions
+    np.testing.assert_allclose(atts["dec_exp_tc_cross_att"].sum(-1), 1.0, atol=1e-4)
