@@ -221,7 +221,7 @@ class ServingQueue:
         q.close()
     """
 
-    def __init__(self, predictor: Predictor, *, max_wait_s: float = 0.01,
+    def __init__(self, predictor: Predictor, *, max_wait_s: float = 0.05,
                  beam: bool = False, decoder: str = "greedy",
                  pipeline_depth: int = 2):
         self.predictor = predictor
