@@ -137,3 +137,61 @@ def test_predict_with_attention(rng):
     assert atts["dec_exp_tc_cross_att"].shape == (cfg.dec_layers, T, S)
     # rows are softmax distributions over unmasked positions
     np.testing.assert_allclose(atts["dec_exp_tc_cross_att"].sum(-1), 1.0, atol=1e-4)
+
+
+def test_http_serving_endpoint(rng):
+    """POST /predict through the stdlib HTTP front end returns the same expression
+    as the synchronous API; bad requests get 400 without killing the server;
+    /healthz responds."""
+    import base64
+    import io
+    import json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    from retr_tpu.predictor import ServingQueue
+    from retr_tpu.serve import run_in_thread
+
+    pred = tiny_predictor()
+    img = rng.integers(0, 256, (70, 80, 3), dtype=np.uint8)
+    bbox = [5, 5, 40, 30]
+    want = pred.predict(img, bbox)
+
+    q = ServingQueue(pred, max_wait_s=0.02)
+    server, base = run_in_thread(q)
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        payload = json.dumps({
+            "image": base64.b64encode(buf.getvalue()).decode(), "bbox": bbox,
+        }).encode()
+
+        def post(_):
+            req = urllib.request.Request(base + "/predict", data=payload,
+                                         headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())["expression"]
+
+        with ThreadPoolExecutor(3) as pool:  # concurrent -> exercises batching
+            got = list(pool.map(post, range(3)))
+        assert got == [want] * 3
+
+        bad = urllib.request.Request(base + "/predict", data=b'{"bbox": [1,2,3,4]}',
+                                     headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 400
+        assert raised
+        # server still alive after the 400
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+    finally:
+        server.shutdown()
+        q.close()
