@@ -45,12 +45,13 @@ def main(args, config: Config):
 
     mesh = pmesh.make_mesh(dp=args.dp or len(jax.devices()), mp=1)
 
+    batch = args.batch or config.batch_size
     loaders = {}
     for prefix, split in parse_datasets(args.datasets):
         cfg_d = config.replace(prefix=prefix, ref_dir="")  # ref_dir rederived from prefix
         dataset = ds.build_dataset(cfg_d, split, tokenizer=tokenizer, return_unique=True)
         loaders[f"{prefix}/{split}"] = ds.DataLoader(
-            dataset, config.batch_size, num_workers=config.num_workers
+            dataset, batch, num_workers=config.num_workers
         )
 
     results = full_eval_sweep(params, config, tokenizer, mesh, datasets=loaders,
@@ -71,6 +72,10 @@ def build_argparser():
     ap.add_argument("--dp", type=int, default=0, help="dp mesh size (default: all devices)")
     ap.add_argument("--decoder", default="greedy",
                     choices=["greedy", "beam", "sample"])
+    ap.add_argument("--batch", type=int, default=0,
+                    help="eval batch size (default: config.batch_size; decode "
+                    "tokens are batch-size-invariant and batch 128 measured "
+                    "~46%% more captions/s than 32 — BENCH_DETAILS.json)")
     ap.add_argument("--out", default="", help="write results JSON here")
     ap.add_argument("--override_config", action="store_true")
     return ap
