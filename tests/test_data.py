@@ -269,3 +269,45 @@ def test_synthetic_vocab_stable_across_processes():
         for seed in ("1", "2", "random")
     }
     assert len(outs) == 1, "synthetic vocab differs across processes"
+
+
+def test_tokenizer_unicode_parity_vs_hf():
+    """Unicode fuzzing: accents (NFD strip), CJK isolation, control chars, emoji,
+    zero-width junk — our tokenize/encode must match HF BertTokenizer exactly
+    (the ASCII fuzz above never exercised the _clean/_strip_accents/CJK paths)."""
+    import os as _os
+    import random
+    import tempfile
+
+    from transformers import BertTokenizer
+
+    words = ["red", "dog", "cafe", "uber", "chair", "on", "the", "a"]
+    tok = WordPieceTokenizer.synthetic(words)
+    with tempfile.TemporaryDirectory() as d:
+        path = _os.path.join(d, "vocab.txt")
+        inv = {i: t for t, i in tok.vocab.items()}
+        with open(path, "w") as f:
+            for i in range(max(inv) + 1):
+                f.write(inv.get(i, f"[unused_fill_{i}]") + "\n")
+        hf = BertTokenizer(path, do_lower_case=True)
+
+        fixed = [
+            "café über naïve",               # combining accents after NFD
+            "café",                    # explicit combining acute
+            "ÇAFÉ ÜBER",                     # uppercase + accents
+            "红色的 dog 在 chair 上",          # CJK isolation around known words
+            "the​ dog",                 # zero-width space (format char)
+            "a\x00b�c",                 # NUL + replacement char stripped
+            "dog\tchair\n red",              # whitespace controls
+            "the 🐕 dog",                    # emoji (unknown token path)
+            "ｄｏｇ",                          # fullwidth latin
+            "a­b",                      # soft hyphen (format char)
+        ]
+        r = random.Random(1)
+        pool = "abc éü红犬 .,!🐕​­\t"
+        rand = ["".join(r.choice(pool) for _ in range(r.randint(0, 30))) for _ in range(100)]
+        for text in fixed + rand:
+            assert tok.tokenize(text) == hf.tokenize(text), repr(text)
+            assert tok.encode(text, max_length=12) == hf.encode(
+                text, max_length=12, truncation=True
+            ), repr(text)
