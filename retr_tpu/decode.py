@@ -223,6 +223,42 @@ def sample(
 
 
 # ---------------------------------------------------------------------------------
+# Sequence scoring (extension; the reference computes only a scalar CE loss)
+# ---------------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def sequence_scores(
+    params: Params,
+    cfg: Config,
+    samples: Masked,
+    caps: jax.Array,        # [B, T] int32 token buffers (BOS first, 0-padded)
+    cap_masks: jax.Array,   # [B, T] bool, True = pad
+    *,
+    global_samples: Optional[Masked] = None,
+    loc_feats: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-token log-probabilities of given captions under the model.
+
+    One teacher-forced forward (the same shift semantics as training:
+    input caps[:, :-1] -> predict caps[:, 1:], engine.py:70-71), log_softmax in
+    f32, gather at the target ids. Returns ``(logprobs [B, T-1], valid [B, T-1])``
+    where ``valid`` marks real (non-pad) target positions. Sum where valid for the
+    sequence log-likelihood; exp(-mean) for perplexity. Use to rerank beam/sample
+    candidates or compare candidate referring expressions for one region.
+    """
+    logits = caption.forward(
+        params, cfg, samples, caps[:, :-1], cap_masks[:, :-1],
+        global_samples=global_samples, loc_feats=loc_feats,
+        train=False, compute_dtype=compute_dtype,
+    )
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tok_lp = jnp.take_along_axis(logp, caps[:, 1:][..., None], axis=-1)[..., 0]
+    return tok_lp, ~cap_masks[:, 1:]
+
+
+# ---------------------------------------------------------------------------------
 # Beam search (north-star extension; not in the reference)
 # ---------------------------------------------------------------------------------
 

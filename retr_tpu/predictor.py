@@ -102,6 +102,58 @@ class Predictor:
                                    seed=seed, chunk=chunk)
         return out
 
+    def score(self, images: Sequence, bboxes: Sequence,
+              texts: Sequence[str]) -> List[dict]:
+        """Log-likelihoods of candidate expressions for given regions
+        (decode.sequence_scores): one dict per request with ``logprob`` (sum over
+        real tokens incl. EOS), ``n_tokens``, and ``ppl``. Use to rerank
+        candidate expressions or compare phrasings for one region."""
+        assert len(images) == len(bboxes) == len(texts)
+        out: List[dict] = []
+        for i in range(0, len(images), self.max_batch):
+            out += self._score_chunk(images[i : i + self.max_batch],
+                                     bboxes[i : i + self.max_batch],
+                                     texts[i : i + self.max_batch])
+        return out
+
+    def _score_chunk(self, images, bboxes, texts) -> List[dict]:
+        samples = []
+        for im, bb, txt in zip(images, bboxes, texts):
+            arr = load_image(im) if isinstance(im, str) else np.asarray(im)
+            samples.append(
+                preprocess_sample(
+                    arr, bb, txt, self.tokenizer,
+                    image_size=self.cfg.image_size,
+                    max_length=self.cfg.max_position_embeddings,
+                    use_global=self.cfg.use_global_features,
+                    use_location=self.cfg.use_location_features,
+                )
+            )
+        true_n = len(samples)
+        while len(samples) < self.max_batch:
+            samples.append(samples[-1])
+        batch = device_batch(collate(samples), train=False)
+        imgs = Masked(batch.images, batch.image_masks)
+        g = (Masked(batch.global_images, batch.global_masks)
+             if batch.global_images is not None else None)
+        tok_lp, valid = decode_mod.sequence_scores(
+            self.params, self.cfg, imgs, batch.caps, batch.cap_masks,
+            global_samples=g, loc_feats=batch.loc_feats,
+            compute_dtype=jax.numpy.dtype(self.cfg.compute_dtype),
+        )
+        lp = np.asarray(tok_lp)[:true_n]
+        v = np.asarray(valid)[:true_n]
+        out = []
+        for row_lp, row_v in zip(lp, v):
+            total = float(row_lp[row_v].sum())
+            n = int(row_v.sum())
+            out.append({
+                "logprob": total,
+                "n_tokens": n,
+                "ppl": float(np.exp(-total / max(n, 1))),
+            })
+        return out
+
     def predict_with_attention(self, image, bbox):
         """Single-request decode + attention maps (the reference's greedy_with_att,
         eval_utils/decode.py:131-167, as a serving API): returns

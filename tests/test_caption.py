@@ -306,3 +306,36 @@ def test_beam_ancestry_matches_gathered_reference():
             bos_token=bos, eos_token=eos, beam_size=k,
         )
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_sequence_scores_greedy_dominance_and_masking():
+    """Per-token log-probs: greedy's token at position j maximizes the logprob
+    given the shared prefix, so flipping any single token can only lower that
+    position's score; pad targets are excluded via the valid mask."""
+    cfg = tiny_cfg()
+    _, params = make_oracle(cfg, seed=13)
+    b = 2
+    img, mask = make_image_batch(b, cfg.image_size, seed=13)
+    samples = Masked(jnp.asarray(img.numpy()), jnp.asarray(mask.numpy()))
+    bos, eos = 90, 91
+    T = cfg.max_position_embeddings
+
+    ids = np.asarray(decode.greedy(params, cfg, samples, max_len=T,
+                                   bos_token=bos, eos_token=eos))
+    caps = jnp.asarray(ids)
+    cap_masks = jnp.asarray(ids == 0)
+    lp, valid = decode.sequence_scores(params, cfg, samples, caps, cap_masks)
+    lp, valid = np.asarray(lp), np.asarray(valid)
+    assert lp.shape == (b, T - 1) and valid.shape == (b, T - 1)
+    assert (lp[valid] <= 0).all()
+
+    j = 2  # flip the token greedy wrote at position j (same prefix up to j-1)
+    flipped = ids.copy()
+    flipped[:, j] = (flipped[:, j] + 1) % cfg.vocab_size
+    lp2, _ = decode.sequence_scores(
+        params, cfg, samples, jnp.asarray(flipped), cap_masks)
+    lp2 = np.asarray(lp2)
+    assert (lp2[:, j - 1] <= lp[:, j - 1] + 1e-6).all()
+
+    # valid excludes pad positions exactly
+    np.testing.assert_array_equal(valid, ids[:, 1:] != 0)

