@@ -94,3 +94,58 @@ def test_main_training_loop_multichip(tmp_path):
     end = [l for l in lines if l["event"] == "epoch_end"][-1]
     assert np.isfinite(end["train_loss"]) and np.isfinite(end["val_loss"])
     assert any("checkpoint_0" in n for n in os.listdir(cfg.checkpoint_path))
+
+
+def test_checkpoint_restores_across_mesh_shapes(tmp_path):
+    """A checkpoint saved with mp=2-sharded params restores into a different mesh
+    (dp=8, mp=1 replicated template) with identical values, and a train step runs
+    on the new mesh — elastic mesh-shape changes across restarts."""
+    import jax
+    import jax.numpy as jnp
+
+    from retr_tpu.models import caption
+    from retr_tpu.parallel import mesh as pmesh
+    from retr_tpu.train import checkpoints as ckpt
+    from retr_tpu.train.state import TrainState, make_optimizer
+
+    tok, _, _ = prepare_tokenizer()
+    cfg = Config(
+        backbone="ResNet18", dilation=False, hidden_dim=64, nheads=4, enc_layers=1,
+        dec_layers=1, dim_feedforward=128, vocab_size=tok.vocab_size,
+        max_position_embeddings=10, dropout=0.0, image_size=32,
+        project_data_path=str(tmp_path),
+    )
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    mesh_a = pmesh.make_mesh(dp=4, mp=2)
+    sharded = pmesh.shard_params(params, mesh_a)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = TrainState(sharded, tx.init(sharded), jnp.int32(0))
+    path = ckpt.save_checkpoint(str(tmp_path / "ck"), state, cfg, epoch=0)
+
+    mesh_b = pmesh.make_mesh(dp=8, mp=1)
+    fresh, _ = caption.build_model(cfg, jax.random.key(1))
+    template = jax.tree.map(
+        lambda x: jax.device_put(x, pmesh.replicated(mesh_b)),
+        TrainState(fresh, tx.init(fresh), jnp.int32(0)),
+    )
+    restored, _ = ckpt.load_checkpoint(path, template)
+
+    # values equal the original (pre-shard) params; shardings follow the template
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(k))
+    head = restored.params["mlp"]["layers"][2]["w"]
+    assert getattr(head.sharding, "mesh", None) == mesh_b
+
+    from tests.test_train import synth_batch
+    from retr_tpu.train.state import make_train_step
+
+    step = make_train_step(cfg, tx, donate=False)
+    batch = synth_batch(cfg, b=8)
+    batch = jax.tree.map(
+        lambda x: jax.device_put(x, pmesh.batch_sharding(mesh_b, np.ndim(x))), batch
+    )
+    _, loss = step(restored, batch, jax.random.key(2))
+    assert np.isfinite(float(loss))
