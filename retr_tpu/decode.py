@@ -128,6 +128,72 @@ def greedy(
 
 
 # ---------------------------------------------------------------------------------
+# Prefix-forced completion (extension; not in the reference)
+# ---------------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "bos_token", "eos_token", "compute_dtype"))
+def greedy_with_prefix(
+    params: Params,
+    cfg: Config,
+    samples: Masked,
+    prefix: jax.Array,       # [B, P] int32 forced tokens (after BOS; 0-padded)
+    prefix_lens: jax.Array,  # [B] int32 real length of each row's prefix
+    *,
+    global_samples: Optional[Masked] = None,
+    loc_feats: Optional[jax.Array] = None,
+    max_len: int = 128,
+    bos_token: int = 101,
+    eos_token: int = 102,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Greedy completion of per-sample forced prefixes (interactive / constrained
+    generation): positions 1..prefix_lens[b] are fixed to ``prefix``, the rest
+    decodes greedily with the same KV-cached loop. ``prefix_lens`` of zero makes
+    this exactly ``greedy`` (tested); forced EOS tokens finish their row.
+
+    The forced tokens still flow through the decode step (they must populate the
+    self-attention caches), only the argmax is overridden inside the forced
+    region — one compiled program regardless of the prefix pattern.
+    """
+    memory, mem_mask, pos = caption.encode(
+        params, cfg, samples, global_samples=global_samples, loc_feats=loc_feats,
+        compute_dtype=compute_dtype,
+    )
+    b = memory.shape[0]
+    p = prefix.shape[1]
+    cache, cross = transformer.init_decode_state(
+        params["transformer"], memory, mem_mask, pos, cfg, max_len
+    )
+    captions = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(bos_token)
+    cols = jnp.arange(p)[None, :]
+    captions = captions.at[:, 1 : p + 1].set(
+        jnp.where(cols < prefix_lens[:, None], prefix, 0)
+    )
+
+    def cond(c: _GreedyCarry):
+        return jnp.logical_and(c.step < max_len - 1, ~jnp.all(c.finished))
+
+    def body(c: _GreedyCarry):
+        hs, cache = transformer.decode_step(
+            params["transformer"], c.cache, cross, c.captions[:, c.step], c.step, cfg
+        )
+        logits = caption.mlp_head(params["mlp"], hs)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        forced = c.step + 1 <= prefix_lens          # position step+1 is in the prefix
+        tok = jnp.where(forced, c.captions[:, c.step + 1], pred)
+        finished = jnp.logical_or(tok == eos_token, c.finished)
+        write = ~jnp.all(finished)
+        captions = jnp.where(write, c.captions.at[:, c.step + 1].set(tok), c.captions)
+        return _GreedyCarry(captions, finished, cache, c.step + 1)
+
+    init = _GreedyCarry(captions, jnp.zeros((b,), bool), cache, jnp.int32(0))
+    with matmul_precision(memory.dtype):
+        out = jax.lax.while_loop(cond, body, init)
+    return out.captions
+
+
+# ---------------------------------------------------------------------------------
 # Stochastic sampling (extension; the reference is greedy-only)
 # ---------------------------------------------------------------------------------
 

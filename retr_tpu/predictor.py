@@ -102,6 +102,42 @@ class Predictor:
                                    seed=seed, chunk=chunk)
         return out
 
+    def complete(self, image, bbox, prefix_text: str) -> str:
+        """Greedy completion of a partial expression (decode.greedy_with_prefix):
+        ``complete(img, bb, "the woman")`` returns a full expression starting
+        with the given words. Runs at batch 1 (interactive path)."""
+        arr = load_image(image) if isinstance(image, str) else np.asarray(image)
+        sample = preprocess_sample(
+            arr, bbox, "", self.tokenizer,
+            image_size=self.cfg.image_size,
+            max_length=self.cfg.max_position_embeddings,
+            use_global=self.cfg.use_global_features,
+            use_location=self.cfg.use_location_features,
+        )
+        batch = device_batch(collate([sample]), train=False)
+        imgs = Masked(batch.images, batch.image_masks)
+        g = (Masked(batch.global_images, batch.global_masks)
+             if batch.global_images is not None else None)
+        ids = [t for t in self.tokenizer.encode(prefix_text)
+               if t not in (self.bos, self.eos, self.pad)]
+        max_p = self.cfg.max_position_embeddings - 2
+        ids = ids[:max_p]
+        prefix = np.zeros((1, max_p), np.int32)
+        prefix[0, : len(ids)] = ids
+        out = decode_mod.greedy_with_prefix(
+            self.params, self.cfg, imgs,
+            jax.numpy.asarray(prefix), jax.numpy.asarray([len(ids)], jax.numpy.int32),
+            global_samples=g, loc_feats=batch.loc_feats,
+            max_len=self.cfg.max_position_embeddings,
+            bos_token=self.bos, eos_token=self.eos,
+            compute_dtype=jax.numpy.dtype(self.cfg.compute_dtype),
+        )
+        pruned = decode_mod.prune_token_ids(
+            np.asarray(out).tolist(), clean=True,
+            pad_token=self.pad, bos_token=self.bos, eos_token=self.eos,
+        )
+        return self.tokenizer.batch_decode(pruned)[0]
+
     def score(self, images: Sequence, bboxes: Sequence,
               texts: Sequence[str]) -> List[dict]:
         """Log-likelihoods of candidate expressions for given regions

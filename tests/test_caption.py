@@ -339,3 +339,44 @@ def test_sequence_scores_greedy_dominance_and_masking():
 
     # valid excludes pad positions exactly
     np.testing.assert_array_equal(valid, ids[:, 1:] != 0)
+
+
+def test_greedy_with_prefix_semantics():
+    """Zero prefix == greedy exactly; forcing greedy's own first tokens leaves the
+    continuation unchanged; per-sample prefixes are preserved verbatim; forced
+    EOS finishes a row."""
+    cfg = tiny_cfg()
+    _, params = make_oracle(cfg, seed=17)
+    b = 3
+    img, mask = make_image_batch(b, cfg.image_size, seed=17)
+    samples = Masked(jnp.asarray(img.numpy()), jnp.asarray(mask.numpy()))
+    bos, eos = 90, 91
+    T = cfg.max_position_embeddings
+    common = dict(max_len=T, bos_token=bos, eos_token=eos)
+
+    ref = np.asarray(decode.greedy(params, cfg, samples, **common))
+
+    P = 4
+    zeros = jnp.zeros((b, P), jnp.int32)
+    out0 = np.asarray(decode.greedy_with_prefix(
+        params, cfg, samples, zeros, jnp.zeros((b,), jnp.int32), **common))
+    np.testing.assert_array_equal(out0, ref)
+
+    # force greedy's own first 3 tokens -> identical full output (self-consistency)
+    own = jnp.asarray(ref[:, 1 : P + 1].copy())
+    out1 = np.asarray(decode.greedy_with_prefix(
+        params, cfg, samples, own, jnp.full((b,), 3, jnp.int32), **common))
+    np.testing.assert_array_equal(out1, ref)
+
+    # arbitrary per-sample prefixes preserved verbatim; rest decodes
+    prefix = np.zeros((b, P), np.int32)
+    prefix[0, :2] = [7, 8]
+    prefix[1, :4] = [5, 6, 7, 8]
+    prefix[2, :1] = [eos]  # forced EOS -> row finishes immediately
+    lens = jnp.asarray([2, 4, 1], jnp.int32)
+    out2 = np.asarray(decode.greedy_with_prefix(
+        params, cfg, samples, jnp.asarray(prefix), lens, **common))
+    np.testing.assert_array_equal(out2[0, 1:3], [7, 8])
+    np.testing.assert_array_equal(out2[1, 1:5], [5, 6, 7, 8])
+    assert out2[2, 1] == eos
+    assert out2.shape == ref.shape

@@ -211,3 +211,12 @@ def test_predictor_score(rng):
     for r in res:
         assert r["n_tokens"] > 0 and r["logprob"] <= 0 and r["ppl"] >= 1.0
     assert res[0]["ppl"] <= res[1]["ppl"] * 5  # sanity scale; own text shouldn't explode
+
+
+def test_predictor_complete(rng):
+    """Predictor.complete returns an expression that starts with the forced
+    prefix text (tokenizer round trip included)."""
+    pred = tiny_predictor()
+    img = rng.integers(0, 256, (90, 100, 3), dtype=np.uint8)
+    out = pred.complete(img, [8, 8, 50, 40], "red dog")
+    assert isinstance(out, str) and out.startswith("red dog"), out
