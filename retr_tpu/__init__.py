@@ -40,7 +40,8 @@ def __getattr__(name):
         from retr_tpu.models.caption import build_model
 
         return build_model
-    if name in ("greedy", "beam_search", "sample", "greedy_decoding"):
+    if name in ("greedy", "beam_search", "sample", "greedy_with_prefix",
+                "sequence_scores", "greedy_decoding", "greedy_with_attention"):
         from retr_tpu import decode as _d
 
         return getattr(_d, name)
