@@ -195,6 +195,10 @@ def test_sample_greedy_limits_and_validity():
     s4 = np.asarray(decode.sample(params, cfg, samples, jax.random.key(3),
                                   temperature=1.0, top_p=1e-9, **common))
     np.testing.assert_array_equal(s4, ref)
+    # same through the top-k shortlist path (nucleus computed within the shortlist)
+    s5 = np.asarray(decode.sample(params, cfg, samples, jax.random.key(4),
+                                  temperature=1.0, top_k=8, top_p=1e-9, **common))
+    np.testing.assert_array_equal(s5, ref)
 
 
 def test_beam_search_beats_or_matches_greedy_score():

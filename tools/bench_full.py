@@ -134,6 +134,15 @@ def main():
         "captions_per_sec": 128 / t,
     }
 
+    # 9 (extra): stochastic sampling decoder, batch 32 (temperature 1, top-k 50) —
+    # the extension's cost vs greedy (same KV-cached loop + filter/categorical)
+    t = _timed(lambda: decode.sample(params, cfg, s32, jax.random.key(3),
+                                     temperature=1.0, top_k=50, **kwargs))
+    results["9_sample_topk50_batch32"] = {
+        "latency_s_per_batch": t,
+        "captions_per_sec": BATCH / t,
+    }
+
     # 8 (extra): the REAL training epoch loop (host batches + device_batch upload +
     # pipelined loss drain) — what a user's samples/s actually is, vs the raw step
     # of config 6.
