@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--fixture-dir", default="/tmp/retr_e2e_fixture")
     ap.add_argument("--ckpt-dir", default="/tmp/retr_ab_ckpt")
     ap.add_argument("--retrain", action="store_true")
+    ap.add_argument("--variant", default="base", choices=["base", "glob_loc"],
+                    help="glob_loc = CaptionGlobalLoc (dual-stream target+context"
+                    "+location fusion, BASELINE config 4) — validates bf16 on the"
+                    " fusion variant too")
     args = ap.parse_args()
 
     coco_dir, ref_dir = make_fixture(args.fixture_dir, args.images)
@@ -61,14 +65,21 @@ def main():
     from retr_tpu.train.state import TrainState, make_optimizer, make_train_step
 
     tok, _, _ = prepare_tokenizer()
+    variant_flags = (
+        dict(use_global_features=True, use_location_features=True)
+        if args.variant == "glob_loc" else {}
+    )
+    if args.variant != "base":
+        args.ckpt_dir = args.ckpt_dir + "_" + args.variant
     base = Config(
         dir=coco_dir, ref_dir=ref_dir, verbose=False, backbone="ResNet50",
         dilation=True, dropout=0.1, batch_size=args.batch, num_workers=4,
         vocab_size=tok.vocab_size, use_pallas_decode=True, lr=1e-4,
+        **variant_flags,
     )
 
     # ---- train (or load cached) ---------------------------------------------
-    ckpt_path = os.path.join(args.ckpt_dir, "Concat_refcoco_checkpoint_0")
+    ckpt_path = os.path.join(args.ckpt_dir, ckpt.checkpoint_name(base, 0))
     if args.retrain or not os.path.isdir(ckpt_path):
         train_set = ds.build_dataset(base, "val", tokenizer=tok)  # fixture is all 'val'
         loader = ds.DataLoader(train_set, base.batch_size, shuffle=True,
@@ -120,9 +131,12 @@ def main():
     for host in loader:
         batch = device_batch(host, train=False)
         samples = Masked(batch.images, batch.image_masks)
+        g = (Masked(batch.global_images, batch.global_masks)
+             if batch.global_images is not None else None)
         for name, cfg in configs.items():
             ids = np.asarray(decode_mod.greedy(
-                params, cfg, samples, max_len=cfg.max_position_embeddings,
+                params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
+                max_len=cfg.max_position_embeddings,
                 bos_token=bos_id, eos_token=eos_id,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
             ))
@@ -143,8 +157,11 @@ def main():
         for host in loader:
             batch = device_batch(host, train=False)
             samples = Masked(batch.images, batch.image_masks)
+            g = (Masked(batch.global_images, batch.global_masks)
+                 if batch.global_images is not None else None)
             toks, _ = decode_mod.beam_search(
-                params, cfg, samples, max_len=cfg.max_position_embeddings,
+                params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
+                max_len=cfg.max_position_embeddings,
                 bos_token=bos_id, eos_token=eos_id, beam_size=5,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
             )
