@@ -384,3 +384,23 @@ def test_greedy_with_prefix_semantics():
     np.testing.assert_array_equal(out2[1, 1:5], [5, 6, 7, 8])
     assert out2[2, 1] == eos
     assert out2.shape == ref.shape
+
+
+def test_greedy_tokens_batch_size_invariant():
+    """Decoding the same samples at different batch sizes yields identical token
+    buffers (frozen BN -> no cross-sample coupling) — the property behind the
+    sweep CLI's --batch throughput override."""
+    cfg = tiny_cfg()
+    _, params = make_oracle(cfg, seed=19)
+    img, mask = make_image_batch(6, cfg.image_size, seed=19)
+    samples = Masked(jnp.asarray(img.numpy()), jnp.asarray(mask.numpy()))
+    common = dict(max_len=cfg.max_position_embeddings, bos_token=90, eos_token=91)
+
+    full = np.asarray(decode.greedy(params, cfg, samples, **common))
+    halves = [
+        np.asarray(decode.greedy(
+            params, cfg, Masked(samples.tensors[i : i + 3], samples.mask[i : i + 3]),
+            **common))
+        for i in (0, 3)
+    ]
+    np.testing.assert_array_equal(np.concatenate(halves), full)
