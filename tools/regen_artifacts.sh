@@ -1,0 +1,44 @@
+#!/bin/bash
+# Regenerate every measured artifact in dependency order, on the real TPU.
+#
+# RUN ON AN IDLE HOST (no concurrent pytest!) — the 1-core host + tunnel skew
+# concurrent timings 2-20x (docs/ROADMAP.md gotchas). Total ~45-60 min, mostly
+# remote compiles on the first run.
+#
+# Artifacts produced:
+#   BENCH_DETAILS.json           full benchmark matrix (tools/bench_full.py)
+#   docs/AB_BF16.json            bf16 A/B on trained ckpts, both variants
+#   docs/BENCH_SERVING.json      serving latency under open-loop load
+#   stdout JSON lines            e2e eval (host-inclusive) greedy + beam
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/5 bf16 A/B + trained checkpoints (base variant) =="
+python tools/ab_bf16.py | tail -1 > /tmp/ab_base.json
+echo "== 2/5 bf16 A/B (dual-stream glob_loc variant) =="
+python tools/ab_bf16.py --variant glob_loc | tail -1 > /tmp/ab_glob.json
+python - <<'EOF'
+import json
+base = json.load(open("/tmp/ab_base.json"))
+glob = json.load(open("/tmp/ab_glob.json"))
+cur = json.load(open("docs/AB_BF16.json"))
+out = {"base_variant": base, "glob_loc_variant": glob,
+       "note": cur.get("note", "")}
+json.dump(out, open("docs/AB_BF16.json", "w"), indent=2)
+EOF
+
+echo "== 3/5 full benchmark matrix =="
+python tools/bench_full.py
+
+echo "== 4/5 end-to-end eval (host-inclusive), greedy + beam, median of 5/3 =="
+python tools/bench_e2e.py --ckpt /tmp/retr_ab_ckpt/Concat_refcoco_checkpoint_0 \
+    --dtype bfloat16 --reps 5
+python tools/bench_e2e.py --ckpt /tmp/retr_ab_ckpt/Concat_refcoco_checkpoint_0 \
+    --dtype bfloat16 --decoder beam --reps 3
+
+echo "== 5/5 serving latency =="
+python tools/bench_serving.py --ckpt /tmp/retr_ab_ckpt/Concat_refcoco_checkpoint_0 \
+    --rates 20 50 100 200 400 --requests 150 | tail -1 > docs/BENCH_SERVING.json
+cat docs/BENCH_SERVING.json
+
+echo "done — review git diff of BENCH_DETAILS.json / docs/*.json before committing."
