@@ -161,3 +161,20 @@ def test_sharded_beam_and_sample_match_single_device(tmp_path):
             params, cfg, loader, tok, mesh, decoder=decoder, return_hypotheses=True
         )
         assert [h["expression"] for h in ref_hyps] == got_hyps, decoder
+
+
+def test_evaluate_mesh_matches_single_device(tmp_path):
+    """engine.evaluate with a dp mesh returns the same validation loss as the
+    unsharded path (including a ragged trailing batch, which is replicated)."""
+    cfg, tok = make_env(tmp_path)
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    dataset = ds.build_dataset(cfg, "training", tokenizer=tok)
+    loader = ds.DataLoader(dataset, 3, num_workers=2)  # 4 anns -> batches of 3+1 (ragged)
+
+    from retr_tpu import engine
+
+    ref = engine.evaluate(params, cfg, loader)
+    mesh = pmesh.make_mesh(dp=3, mp=1)
+    p_mesh = jax.device_put(params, pmesh.replicated(mesh))
+    got = engine.evaluate(p_mesh, cfg, loader, mesh=mesh)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
