@@ -250,3 +250,28 @@ def test_export_reference_checkpoint_loc_variant(env, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params["loc_proj"]["w"]), np.asarray(params2["loc_proj"]["w"])
     )
+
+
+def test_export_pth_cli(env, tmp_path, monkeypatch):
+    """python -m retr_tpu.export_pth writes a loadable .pth with metadata carried
+    from the checkpoint dir."""
+    import sys
+
+    from retr_tpu import export_pth
+
+    cfg, _ = env
+    params, _ = caption.build_model(cfg, jax.random.key(8))
+    tx = make_optimizer(cfg, steps_per_epoch=1)
+    state = TrainState(params, tx.init(params), jnp.int32(0))
+    path = ckpt.save_checkpoint(str(tmp_path / "ck"), state, cfg, epoch=4,
+                                cider_score=0.7)
+    out = str(tmp_path / "exported.pth")
+    monkeypatch.setattr(sys, "argv", ["export_pth", "--checkpoint", path, "--out", out])
+    assert export_pth.main() == out
+    blob = torch.load(out, map_location="cpu", weights_only=False)
+    assert blob["epoch"] == 4 and blob["cider_score"] == 0.7
+    params2, _ = ckpt.import_reference_checkpoint(out, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(params["mlp"]["layers"][0]["w"]),
+        np.asarray(params2["mlp"]["layers"][0]["w"]),
+    )

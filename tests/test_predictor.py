@@ -220,3 +220,43 @@ def test_predictor_complete(rng):
     img = rng.integers(0, 256, (90, 100, 3), dtype=np.uint8)
     out = pred.complete(img, [8, 8, 50, 40], "red dog")
     assert isinstance(out, str) and out.startswith("red dog"), out
+
+
+def test_serving_queue_concurrent_submit_and_close(rng):
+    """Many threads submitting while the queue closes: every future resolves —
+    either with a result or the closed-queue rejection; no deadlock."""
+    import threading
+    import time as _time
+
+    pred = tiny_predictor()
+    q = ServingQueue(pred, max_wait_s=0.01)
+    img = rng.integers(0, 256, (60, 60, 3), dtype=np.uint8)
+    futs, errs = [], []
+    lock = threading.Lock()
+
+    def submitter():
+        for _ in range(4):
+            try:
+                f = q.submit(img, [5, 5, 30, 30])
+                with lock:
+                    futs.append(f)
+            except RuntimeError:
+                with lock:
+                    errs.append(1)
+            _time.sleep(0.002)
+
+    threads = [threading.Thread(target=submitter) for _ in range(4)]
+    for t in threads:
+        t.start()
+    _time.sleep(0.05)
+    q.close(wait=False)
+    for t in threads:
+        t.join()
+    q._dispatcher.join(timeout=300)
+    q._collector.join(timeout=300)
+    resolved = sum(1 for f in futs if f.done() and (f.exception() is None))
+    assert resolved + len(errs) >= 1  # progress happened
+    # every accepted-and-dispatched future is terminal (result or exception)
+    for f in futs:
+        if f.done():
+            f.exception()  # must not raise beyond stored exception access
