@@ -70,7 +70,11 @@ def main():
                     help="offered request rates (req/s), measured one after another")
     ap.add_argument("--requests", type=int, default=200)
     ap.add_argument("--max-batch", type=int, default=32)
-    ap.add_argument("--max-wait-s", type=float, default=0.01)
+    ap.add_argument("--max-wait-s", type=float, default=0.05,
+                    help="batching window; 50 ms measured better on both axes "
+                    "than 10 ms at load (docs/PERF.md)")
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="ServingQueue batches in flight")
     ap.add_argument("--fixture-dir", default="/tmp/retr_e2e_fixture")
     ap.add_argument("--images", type=int, default=32)
     ap.add_argument("--backbone", default="ResNet50")
@@ -117,7 +121,8 @@ def main():
         params, _ = caption.build_model(cfg, jax.random.key(0))
 
     pred = Predictor(params, cfg, tok, max_batch=args.max_batch)
-    queue = ServingQueue(pred, max_wait_s=args.max_wait_s, decoder=args.decoder)
+    queue = ServingQueue(pred, max_wait_s=args.max_wait_s, decoder=args.decoder,
+                         pipeline_depth=args.pipeline_depth)
 
     # warmup: compile the single padded program shape + warm the host path
     pred.predict_batch([paths[0]] * 2, bboxes[:2], decoder=args.decoder)
@@ -138,6 +143,7 @@ def main():
     out = {
         "metric": f"ServingQueue {args.decoder} ({args.dtype}, max_batch "
                   f"{args.max_batch}, wait {args.max_wait_s * 1e3:.0f} ms, "
+                  f"depth {args.pipeline_depth}, "
                   f"{'trained ckpt' if args.ckpt else 'random weights/full 127 steps'})",
         "requests_per_rate": args.requests,
         "device": str(jax.devices()[0]),
