@@ -38,7 +38,14 @@ python tools/bench_e2e.py --ckpt /tmp/retr_ab_ckpt/Concat_refcoco_checkpoint_0 \
 
 echo "== 5/5 serving latency =="
 python tools/bench_serving.py --ckpt /tmp/retr_ab_ckpt/Concat_refcoco_checkpoint_0 \
-    --rates 20 50 100 200 400 --requests 150 | tail -1 > docs/BENCH_SERVING.json
-cat docs/BENCH_SERVING.json
+    --rates 20 50 100 200 400 --requests 150 | tail -1 > /tmp/serving_sweep.json
+python - <<'PYEOF'
+import json, time
+cur = json.load(open("docs/BENCH_SERVING.json"))
+new = json.load(open("/tmp/serving_sweep.json"))
+cur["latest_sweep"] = new  # keep prior sweeps; transport varies >2x across hours
+json.dump(cur, open("docs/BENCH_SERVING.json", "w"), indent=2)
+print(json.dumps(new))
+PYEOF
 
 echo "done — review git diff of BENCH_DETAILS.json / docs/*.json before committing."
