@@ -7,14 +7,19 @@ image, so this is a from-scratch Python implementation of the *scheme* that jar
 computes for English (Denkowski & Lavie 2014, "Meteor Universal"):
 
   - parameters alpha=0.85, beta=0.2, gamma=0.6, delta=0.75 (the en defaults);
-  - matcher modules exact (weight 1.0) and stem (weight 0.6) with the Snowball
-    English stemmer (the same stemmer family the jar uses; nltk's
-    SnowballStemmer('english') when available, internal Porter otherwise);
+  - the jar's FOUR matcher modules in stage order: exact (weight 1.0), stem
+    (0.6, Snowball English stemmer — nltk's SnowballStemmer('english') when
+    available, internal Porter otherwise), synonym (0.8, shared-synset test),
+    and paraphrase (0.6, phrase-span table). Synonym and paraphrase are RESOURCE
+    modules: they activate when a :class:`MeteorResources` is supplied (directly
+    or via the RETR_METEOR_SYNONYMS / RETR_METEOR_PARAPHRASES environment
+    variables — the drop-in path for the jar's WordNet synsets and
+    paraphrase-en.gz data once those files are available);
   - content/function-word weighting: content words weigh delta, function words
     (1 - delta), for both the match counts and the sentence lengths;
-  - one-to-one alignment chosen to maximize matched-word coverage, then minimize
-    the number of chunks, then minimize total match distance (the jar's beam
-    search objective; beam width 64 here);
+  - one-to-one alignment (phrase-span aware) chosen to maximize matched-word
+    coverage, then minimize the number of chunks, then minimize total match
+    distance (the jar's beam search objective; beam width 64 here);
   - weighted precision/recall -> fMean = P*R / (alpha*P + (1-alpha)*R);
   - fragmentation penalty gamma * (chunks / ((m_test + m_ref)/2)) ** beta;
   - per segment the best-scoring reference is selected, and the corpus score is
@@ -22,9 +27,14 @@ computes for English (Denkowski & Lavie 2014, "Meteor Universal"):
     aggregation via its EVAL protocol), not the mean of segment scores.
 
 DOCUMENTED DELTAS vs the jar (exact list, per docs/ORACLE.md):
-  1. No synonym (WordNet, weight 0.8) or paraphrase (table, weight 0.6) modules —
-     neither resource exists offline in this image. Scores are therefore a lower
-     bound whenever a hypothesis paraphrases its reference.
+  1. RESOURCE DATA ONLY: the synonym/paraphrase *machinery* is implemented and
+     differentially tested against synthetic resources, but the jar's actual
+     data files (WordNet-derived synsets; the Meteor paraphrase-en table) are
+     not in this image. Without them the resource modules stay inactive and
+     scores are a lower bound whenever a hypothesis paraphrases its reference.
+     Drop-in: convert WordNet synsets to the one-synset-per-line format and the
+     paraphrase table to ``phrase ||| phrase`` lines (see MeteorResources), then
+     export RETR_METEOR_SYNONYMS / RETR_METEOR_PARAPHRASES.
   2. The function-word list is a standard closed-class English list embedded
      below; the jar derives its list from corpus relative frequency (>1e-3).
   3. The aligner is beam-limited (width 64) with the same objective as the jar's
@@ -38,10 +48,12 @@ penalty does not vanish under the 1.5 parameters.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+import os
+from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
 
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
-WEIGHT_EXACT, WEIGHT_STEM = 1.0, 0.6
+# module weights + stage order (earlier stage wins a word pair both propose)
+WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYNONYM, WEIGHT_PARAPHRASE = 1.0, 0.6, 0.8, 0.6
 BEAM = 64
 
 from functools import lru_cache
@@ -78,63 +90,178 @@ FUNCTION_WORDS = frozenset(
 )
 
 
-def _candidate_matches(hyp: List[str], ref: List[str]) -> List[List[Tuple[int, float]]]:
-    """For each hyp index, the list of (ref_index, module_weight) candidates.
+class MeteorResources:
+    """Pluggable data for the jar's two resource matcher modules.
 
-    Exact matches take priority over stem matches for the same (i, j) pair
-    (the jar keeps the highest-weight module per pair).
+    ``synonyms``: word -> frozenset of synset ids. Two distinct words
+    synonym-match (weight 0.8) when their synset sets intersect — the jar's
+    WordNet shared-synset test. File format (``from_files``/``from_env``): one
+    synset per line, its member words space-separated (convert WordNet's
+    ``data.*`` or the jar's bundled synsets to this).
+
+    ``paraphrases``: phrase tuple -> frozenset of phrase tuples (symmetric
+    closure applied at load). A hyp span paraphrase-matches a ref span (weight
+    0.6) when the table relates them — the jar's paraphrase-en table. File
+    format: one pair per line, ``phrase one ||| phrase two`` (TAB also accepted).
+    """
+
+    def __init__(self, synonyms: Optional[Dict[str, FrozenSet]] = None,
+                 paraphrases: Optional[Dict[Tuple[str, ...], FrozenSet]] = None):
+        self.synonyms = synonyms or {}
+        self.paraphrases = paraphrases or {}
+        self.max_phrase_len = max((len(p) for p in self.paraphrases), default=1)
+
+    def __bool__(self) -> bool:
+        return bool(self.synonyms) or bool(self.paraphrases)
+
+    def synonym_match(self, a: str, b: str) -> bool:
+        if a == b:
+            return False  # exact stage already owns the pair
+        sa = self.synonyms.get(a)
+        return bool(sa) and not sa.isdisjoint(self.synonyms.get(b, frozenset()))
+
+    def paraphrase_targets(self, phrase: Tuple[str, ...]) -> FrozenSet:
+        return self.paraphrases.get(phrase, frozenset())
+
+    @classmethod
+    def from_files(cls, synonym_path: Optional[str] = None,
+                   paraphrase_path: Optional[str] = None) -> "MeteorResources":
+        synonyms: Dict[str, set] = {}
+        if synonym_path:
+            with open(synonym_path, encoding="utf-8") as f:
+                for sid, line in enumerate(f):
+                    words = line.lower().split()
+                    for w in words:
+                        synonyms.setdefault(w, set()).add(sid)
+        paraphrases: Dict[Tuple[str, ...], set] = {}
+        if paraphrase_path:
+            with open(paraphrase_path, encoding="utf-8") as f:
+                for line in f:
+                    parts = (line.lower().split("|||") if "|||" in line
+                             else line.lower().split("\t"))
+                    if len(parts) != 2:
+                        continue
+                    a, b = tuple(parts[0].split()), tuple(parts[1].split())
+                    if not a or not b or a == b:
+                        continue
+                    paraphrases.setdefault(a, set()).add(b)
+                    paraphrases.setdefault(b, set()).add(a)
+        return cls({w: frozenset(s) for w, s in synonyms.items()},
+                   {p: frozenset(s) for p, s in paraphrases.items()})
+
+    @classmethod
+    def from_env(cls) -> Optional["MeteorResources"]:
+        """Resources named by RETR_METEOR_SYNONYMS / RETR_METEOR_PARAPHRASES, or
+        None when neither is set — the zero-config drop-in path."""
+        syn = os.environ.get("RETR_METEOR_SYNONYMS") or None
+        par = os.environ.get("RETR_METEOR_PARAPHRASES") or None
+        if not syn and not par:
+            return None
+        return _load_resources_cached(syn, par)
+
+
+@lru_cache(maxsize=8)
+def _load_resources_cached(syn, par):
+    return MeteorResources.from_files(syn, par)
+
+
+# A span match: (hyp_start, hyp_len, ref_start, ref_len, module_weight)
+Match = Tuple[int, int, int, int, float]
+
+
+def _candidate_matches(
+    hyp: List[str], ref: List[str], resources: Optional[MeteorResources]
+) -> List[List[Tuple[int, int, int, float]]]:
+    """Per hyp start index: candidate (hyp_len, ref_start, ref_len, weight) spans.
+
+    Modules run in the jar's stage order — exact, stem, synonym, paraphrase —
+    and an earlier stage owns a (hyp span, ref span) pair both propose, so e.g.
+    a stem match is never downgraded to a paraphrase match.
     """
     hyp_stems = [_stem(w) for w in hyp]
     ref_stems = [_stem(w) for w in ref]
-    cands: List[List[Tuple[int, float]]] = []
-    for i, hw in enumerate(hyp):
-        row: List[Tuple[int, float]] = []
+    cands: List[List[Tuple[int, int, int, float]]] = [[] for _ in hyp]
+    claimed = set()  # (hyp_start, hyp_len, ref_start, ref_len) pairs already owned
+
+    def add(i, hl, j, rl, w):
+        key = (i, hl, j, rl)
+        if key not in claimed:
+            claimed.add(key)
+            cands[i].append((hl, j, rl, w))
+
+    for i, hw in enumerate(hyp):  # stage 0: exact
         for j, rw in enumerate(ref):
             if hw == rw:
-                row.append((j, WEIGHT_EXACT))
-            elif hyp_stems[i] == ref_stems[j]:
-                row.append((j, WEIGHT_STEM))
-        cands.append(row)
+                add(i, 1, j, 1, WEIGHT_EXACT)
+    for i in range(len(hyp)):  # stage 1: stem
+        for j in range(len(ref)):
+            if hyp_stems[i] == ref_stems[j]:
+                add(i, 1, j, 1, WEIGHT_STEM)
+    if resources:
+        for i, hw in enumerate(hyp):  # stage 2: synonym (WordNet shared synset)
+            for j, rw in enumerate(ref):
+                if resources.synonym_match(hw, rw):
+                    add(i, 1, j, 1, WEIGHT_SYNONYM)
+        if resources.paraphrases:  # stage 3: paraphrase (phrase spans)
+            mpl = resources.max_phrase_len
+            ref_spans: Dict[Tuple[str, ...], List[int]] = {}
+            for j in range(len(ref)):
+                for rl in range(1, min(mpl, len(ref) - j) + 1):
+                    ref_spans.setdefault(tuple(ref[j:j + rl]), []).append(j)
+            for i in range(len(hyp)):
+                for hl in range(1, min(mpl, len(hyp) - i) + 1):
+                    for target in resources.paraphrase_targets(tuple(hyp[i:i + hl])):
+                        for j in ref_spans.get(target, ()):
+                            add(i, hl, j, len(target), WEIGHT_PARAPHRASE)
     return cands
 
 
-def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
-    """One-to-one alignment as (hyp_idx, ref_idx, module_weight) tuples.
+def _align(hyp: List[str], ref: List[str],
+           resources: Optional[MeteorResources] = None) -> List[Match]:
+    """One-to-one span alignment as (hyp_start, hyp_len, ref_start, ref_len, w).
 
     Beam search over hyp positions; objective (jar's PartialAlignment order):
-    maximize match count, then minimize chunks, then minimize sum |i - j|.
+    maximize matched-word coverage, then minimize chunks, then minimize total
+    start distance. Single-word-only inputs reduce to the classic word aligner.
     """
-    cands = _candidate_matches(hyp, ref)
+    cands = _candidate_matches(hyp, ref, resources)
     if not any(cands):
         return []
 
-    # state: (matches, chunks, dist, used_ref frozenset, last (i,j) or None, picked)
-    states = [(0, 0, 0, frozenset(), None, ())]
-    for i, row in enumerate(cands):
+    # state: (covered_words, chunks, dist, used_ref frozenset,
+    #         last (hyp_end, ref_end) or None, next free hyp index, picked)
+    states = [(0, 0, 0, frozenset(), None, 0, ())]
+    for i in range(len(hyp)):
         nxt = []
-        for m, ch, d, used, last, picked in states:
+        for st in states:
+            m, ch, d, used, last, free, picked = st
+            if free > i:  # a span already covers hyp[i]
+                nxt.append(st)
+                continue
             # option: leave hyp[i] unmatched
-            nxt.append((m, ch, d, used, last, picked))
-            for j, w in row:
-                if j in used:
+            nxt.append((m, ch, d, used, last, i + 1, picked))
+            for hl, j, rl, w in cands[i]:
+                span = range(j, j + rl)
+                if any(r in used for r in span):
                     continue
-                contiguous = last is not None and last[0] == i - 1 and last[1] == j - 1
+                contiguous = last is not None and last == (i, j)
                 nxt.append(
                     (
-                        m + 1,
+                        m + hl + rl,
                         ch + (0 if contiguous else 1),
                         d + abs(i - j),
-                        used | {j},
-                        (i, j),
-                        picked + ((i, j, w),),
+                        used | set(span),
+                        (i + hl, j + rl),
+                        i + hl,
+                        picked + ((i, hl, j, rl, w),),
                     )
                 )
-        # prune: best (max matches, min chunks, min dist); dedupe identical keys
+        # prune: best (max coverage, min chunks, min dist); dedupe identical keys
         nxt.sort(key=lambda s: (-s[0], s[1], s[2]))
         seen = set()
         states = []
         for s in nxt:
-            key = (s[0], s[1], s[3], s[4])
+            key = (s[0], s[1], s[3], s[4], s[5])
             if key in seen:
                 continue
             seen.add(key)
@@ -142,7 +269,7 @@ def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, float]]:
             if len(states) >= BEAM:
                 break
     best = min(states, key=lambda s: (-s[0], s[1], s[2]))
-    return list(best[5])
+    return list(best[6])
 
 
 class MeteorStats:
@@ -189,7 +316,8 @@ def _is_function(word: str) -> bool:
     return word in FUNCTION_WORDS
 
 
-def _segment_stats(hyp: List[str], ref: List[str]) -> MeteorStats:
+def _segment_stats(hyp: List[str], ref: List[str],
+                   resources: Optional[MeteorResources] = None) -> MeteorStats:
     st = MeteorStats()
     for w in hyp:
         if _is_function(w):
@@ -201,24 +329,27 @@ def _segment_stats(hyp: List[str], ref: List[str]) -> MeteorStats:
             st.ref_len_function += 1
         else:
             st.ref_len_content += 1
-    matches = _align(hyp, ref)
-    st.test_total_matches = len(matches)
-    st.ref_total_matches = len(matches)
-    for (i, j, w) in matches:
-        st.w_test_matches += w * ((1 - DELTA) if _is_function(hyp[i]) else DELTA)
-        st.w_ref_matches += w * ((1 - DELTA) if _is_function(ref[j]) else DELTA)
-    # chunks: contiguity in both strings, over matches sorted by hyp position
-    ms = sorted((i, j) for (i, j, _) in matches)
+    matches = _align(hyp, ref, resources)
+    for (i, hl, j, rl, w) in matches:
+        st.test_total_matches += hl
+        st.ref_total_matches += rl
+        for k in range(i, i + hl):
+            st.w_test_matches += w * ((1 - DELTA) if _is_function(hyp[k]) else DELTA)
+        for k in range(j, j + rl):
+            st.w_ref_matches += w * ((1 - DELTA) if _is_function(ref[k]) else DELTA)
+    # chunks: span contiguity in both strings, over matches sorted by hyp position
+    ms = sorted((i, hl, j, rl) for (i, hl, j, rl, _) in matches)
     if ms:
         st.chunks = 1
-        for (h0, r0), (h1, r1) in zip(ms, ms[1:]):
-            if not (h1 == h0 + 1 and r1 == r0 + 1):
+        for (h0, hl0, r0, rl0), (h1, _, r1, _) in zip(ms, ms[1:]):
+            if not (h1 == h0 + hl0 and r1 == r0 + rl0):
                 st.chunks += 1
     return st
 
 
 def meteor_stats(
-    references: Sequence[Sequence[str]], hypotheses: Sequence[str]
+    references: Sequence[Sequence[str]], hypotheses: Sequence[str],
+    resources: Optional[MeteorResources] = None,
 ) -> Tuple[MeteorStats, List[float]]:
     """Aggregate corpus stats (best reference per segment) + per-segment scores."""
     corpus = MeteorStats()
@@ -228,7 +359,7 @@ def meteor_stats(
         best: Optional[MeteorStats] = None
         best_score = -1.0
         for r in refs:
-            st = _segment_stats(hw, r.lower().split())
+            st = _segment_stats(hw, r.lower().split(), resources)
             s = st.score()
             if s > best_score:
                 best, best_score = st, s
@@ -239,7 +370,15 @@ def meteor_stats(
     return corpus, seg_scores
 
 
-def meteor(references: List[List[str]], hypotheses: List[str]) -> Tuple[float, List[float]]:
-    """Corpus METEOR (jar-style aggregate-stats score) + per-segment scores."""
-    corpus, seg_scores = meteor_stats(references, hypotheses)
+def meteor(references: List[List[str]], hypotheses: List[str],
+           resources: Optional[MeteorResources] = None) -> Tuple[float, List[float]]:
+    """Corpus METEOR (jar-style aggregate-stats score) + per-segment scores.
+
+    ``resources=None`` falls back to :meth:`MeteorResources.from_env` — set
+    RETR_METEOR_SYNONYMS / RETR_METEOR_PARAPHRASES to activate the synonym and
+    paraphrase modules without code changes.
+    """
+    if resources is None:
+        resources = MeteorResources.from_env()
+    corpus, seg_scores = meteor_stats(references, hypotheses, resources)
     return corpus.score(), seg_scores

@@ -27,6 +27,7 @@ def compute_metrics(
     ref_list: Sequence[Sequence[str]],
     hyp_list: Sequence[str],
     metrics_to_omit: Optional[Sequence[str]] = None,
+    meteor_resources=None,
 ) -> Dict[str, float]:
     omit = set(metrics_to_omit or ())
     # transpose [n_refs][n_segments] -> per-segment reference lists
@@ -41,7 +42,9 @@ def compute_metrics(
             if f"Bleu_{i}" not in omit:
                 out[f"Bleu_{i}"] = b
     if "METEOR" not in omit:
-        out["METEOR"], _ = meteor(refs_per_seg, hyps)
+        # meteor_resources=None auto-discovers synonym/paraphrase data via the
+        # RETR_METEOR_* environment variables (metrics/meteor.py drop-in path)
+        out["METEOR"], _ = meteor(refs_per_seg, hyps, resources=meteor_resources)
     if "ROUGE_L" not in omit:
         out["ROUGE_L"], _ = rouge_l(refs_per_seg, hyps)
     if "CIDEr" not in omit:
@@ -53,9 +56,12 @@ class NLGEval:
     """Drop-in for nlgeval.NLGEval as the reference instantiates it."""
 
     def __init__(self, no_skipthoughts: bool = True, no_glove: bool = True,
-                 metrics_to_omit: Optional[Sequence[str]] = None):
+                 metrics_to_omit: Optional[Sequence[str]] = None,
+                 meteor_resources=None):
         del no_skipthoughts, no_glove  # embedding metrics are out of scope
         self.metrics_to_omit = list(metrics_to_omit or [])
+        self.meteor_resources = meteor_resources
 
     def compute_metrics(self, ref_list, hyp_list) -> Dict[str, float]:
-        return compute_metrics(ref_list, hyp_list, self.metrics_to_omit)
+        return compute_metrics(ref_list, hyp_list, self.metrics_to_omit,
+                               meteor_resources=self.meteor_resources)

@@ -228,23 +228,31 @@ class Predictor:
         return self._collect(*self._dispatch(images, bboxes, decoder, seed=seed,
                                              chunk=chunk))
 
+    def _preprocess_one(self, image, bbox):
+        """Host preprocessing for one request (crop/pad/resize/tokenize). Raises
+        on malformed input — kept per-request so a batcher can isolate failures
+        to the offending request instead of failing its whole coalesced batch."""
+        arr = load_image(image) if isinstance(image, str) else np.asarray(image)
+        return preprocess_sample(
+            arr, bbox, "", self.tokenizer,
+            image_size=self.cfg.image_size,
+            max_length=self.cfg.max_position_embeddings,
+            use_global=self.cfg.use_global_features,
+            use_location=self.cfg.use_location_features,
+        )
+
     def _dispatch(self, images, bboxes, decoder: str, *, seed: int = 0,
                   chunk: int = 0):
         """Preprocess + launch the decode; returns (device ids, true_n) WITHOUT
         blocking on the result (the host fetch in _collect is the only barrier),
         so callers can keep batching while the device computes."""
-        samples = []
-        for im, bb in zip(images, bboxes):
-            arr = load_image(im) if isinstance(im, str) else np.asarray(im)
-            samples.append(
-                preprocess_sample(
-                    arr, bb, "", self.tokenizer,
-                    image_size=self.cfg.image_size,
-                    max_length=self.cfg.max_position_embeddings,
-                    use_global=self.cfg.use_global_features,
-                    use_location=self.cfg.use_location_features,
-                )
-            )
+        samples = [self._preprocess_one(im, bb) for im, bb in zip(images, bboxes)]
+        return self._dispatch_samples(samples, decoder, seed=seed, chunk=chunk)
+
+    def _dispatch_samples(self, samples, decoder: str, *, seed: int = 0,
+                          chunk: int = 0):
+        """Launch a decode over already-preprocessed samples (see _preprocess_one)."""
+        samples = list(samples)
         true_n = len(samples)
         while len(samples) < self.max_batch:  # static shape -> stable compile cache
             samples.append(samples[-1])
@@ -318,22 +326,30 @@ class ServingQueue:
         self._q: "queue.Queue" = queue.Queue()
         self._flight: "queue.Queue" = queue.Queue(maxsize=max(pipeline_depth, 1))
         self._closed = False
+        self._close_lock = threading.Lock()  # makes the closed-check + enqueue atomic
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._collector = threading.Thread(target=self._collect_loop, daemon=True)
         self._dispatcher.start()
         self._collector.start()
 
     def submit(self, image, bbox) -> "Future[str]":
-        if self._closed:
-            raise RuntimeError("ServingQueue is closed")
-        fut: "Future[str]" = Future()
-        self._q.put((image, bbox, fut))
+        # Lock pairs the closed-check with the enqueue: without it a submit racing
+        # with close() could land its request BEHIND the shutdown sentinel and the
+        # future would never resolve (callers would block until their timeout).
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("ServingQueue is closed")
+            fut: "Future[str]" = Future()
+            self._q.put((image, bbox, fut))
         return fut
 
     def close(self, *, wait: bool = True) -> None:
         """Stop accepting requests; drain what is queued, then stop the workers."""
-        self._closed = True
-        self._q.put(None)
+        with self._close_lock:
+            already = self._closed
+            self._closed = True
+            if not already:
+                self._q.put(None)
         if wait:
             self._dispatcher.join()
             self._collector.join()
@@ -362,21 +378,39 @@ class ServingQueue:
         while True:
             batch = self._next_batch()
             if batch is None:
+                # Defensive drain: with the submit lock nothing can land behind the
+                # sentinel, but if anything is ever left queued, fail it explicitly
+                # rather than leaving its future unresolved.
+                while True:
+                    try:
+                        item = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if item is not None:
+                        item[2].set_exception(RuntimeError("ServingQueue is closed"))
                 self._flight.put(None)  # collector shutdown
                 return
-            images = [b[0] for b in batch]
-            bboxes = [b[1] for b in batch]
-            futs = [b[2] for b in batch]
+            # Preprocess per request so one malformed input (bad bbox, corrupt
+            # image) fails only its own future, not every innocent co-batched one.
+            samples, ok_futs = [], []
+            for image, bbox, fut in batch:
+                try:
+                    samples.append(self.predictor._preprocess_one(image, bbox))
+                    ok_futs.append(fut)
+                except Exception as exc:
+                    fut.set_exception(exc)
+            if not samples:
+                continue
             try:
-                ids, true_n = self.predictor._dispatch(
-                    images, bboxes, self.decoder, chunk=chunk
+                ids, true_n = self.predictor._dispatch_samples(
+                    samples, self.decoder, chunk=chunk
                 )
                 chunk += 1
-            except Exception as exc:  # preprocessing/dispatch failure: per-request
-                for f in futs:
+            except Exception as exc:  # device dispatch failure: whole batch
+                for f in ok_futs:
                     f.set_exception(exc)
                 continue
-            self._flight.put((ids, true_n, futs))  # blocks at depth -> backpressure
+            self._flight.put((ids, true_n, ok_futs))  # blocks at depth -> backpressure
 
     def _collect_loop(self) -> None:
         while True:

@@ -5,8 +5,9 @@
         [--max-wait-s 0.05]
 
 Endpoints:
-- ``POST /predict``  body ``{"image": <base64 PNG/JPEG> | "image_path": <host path>,
-  "bbox": [x, y, w, h]}`` → ``{"expression": "..."}``. Concurrent requests are
+- ``POST /predict``  body ``{"image": <base64 PNG/JPEG> | "image_path": <path under
+  the --allow-local-paths root; disabled by default>, "bbox": [x, y, w, h]}`` →
+  ``{"expression": "..."}``. Concurrent requests are
   dynamically batched by the ServingQueue (pipelined dispatch/collect — see
   predictor.py; measured 141 req/s saturation, p50 0.31-0.63 s on one v5e chip,
   docs/BENCH_SERVING.json).
@@ -29,21 +30,34 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
-def _decode_image(payload: dict) -> np.ndarray:
+def _decode_image(payload: dict, image_root: "str | None" = None) -> np.ndarray:
     if "image" in payload:
         from PIL import Image
 
         raw = base64.b64decode(payload["image"])
         return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
     if "image_path" in payload:
+        # 'image_path' reads files from the server host, so it is disabled unless
+        # the operator opted in with --allow-local-paths ROOT; even then only
+        # paths inside ROOT resolve (symlinks included) — a remote client must
+        # not be able to probe arbitrary files through the image loader.
+        if image_root is None:
+            raise ValueError("'image_path' is disabled (start with --allow-local-paths)")
+        import os
+
+        root = os.path.realpath(image_root)
+        p = os.path.realpath(os.path.join(root, payload["image_path"]))
+        if os.path.commonpath([p, root]) != root:
+            raise ValueError("image_path escapes the allowed root")
         from retr_tpu.data.preprocess import load_image
 
-        return load_image(payload["image_path"])
+        return load_image(p)
     raise ValueError("request needs 'image' (base64) or 'image_path'")
 
 
 def make_server(queue, host: str = "127.0.0.1", port: int = 8000,
-                request_timeout_s: float = 120.0) -> ThreadingHTTPServer:
+                request_timeout_s: float = 120.0,
+                image_root: "str | None" = None) -> ThreadingHTTPServer:
     """Build (don't start) the HTTP server bound to a ServingQueue. Separated from
     main() so tests can run it on an ephemeral port in-process."""
     import jax
@@ -72,13 +86,14 @@ def make_server(queue, host: str = "127.0.0.1", port: int = 8000,
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
-                img = _decode_image(payload)
+                img = _decode_image(payload, image_root)
                 bbox = payload["bbox"]
                 fut = queue.submit(img, bbox)
                 text = fut.result(timeout=request_timeout_s)
                 self._send(200, {"expression": text})
             except Exception as exc:  # per-request error -> 400, server stays up
-                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+                # generic body: exception text can echo host paths/internals
+                self._send(400, {"error": type(exc).__name__})
 
         def log_message(self, *args):  # quiet by default
             pass
@@ -95,13 +110,16 @@ def main():
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--max-wait-s", type=float, default=0.05)
     ap.add_argument("--decoder", default="greedy", choices=["greedy", "beam", "sample"])
+    ap.add_argument("--allow-local-paths", default=None, metavar="ROOT",
+                    help="enable 'image_path' requests, restricted to this directory")
     args = ap.parse_args()
 
     from retr_tpu.predictor import Predictor, ServingQueue
 
     pred = Predictor.from_checkpoint(args.checkpoint, max_batch=args.max_batch)
     queue = ServingQueue(pred, max_wait_s=args.max_wait_s, decoder=args.decoder)
-    server = make_server(queue, args.host, args.port)
+    server = make_server(queue, args.host, args.port,
+                         image_root=args.allow_local_paths)
     print(f"serving on http://{args.host}:{args.port} (decoder={args.decoder}, "
           f"max_batch={args.max_batch})")
     try:
@@ -117,10 +135,10 @@ if __name__ == "__main__":
     main()
 
 
-def run_in_thread(queue, host="127.0.0.1", port=0):
+def run_in_thread(queue, host="127.0.0.1", port=0, image_root=None):
     """Start the server on an ephemeral port in a daemon thread; returns
     (server, base_url). Used by tests and notebook demos."""
-    server = make_server(queue, host, port)
+    server = make_server(queue, host, port, image_root=image_root)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server, f"http://{server.server_address[0]}:{server.server_address[1]}"

@@ -72,10 +72,11 @@ def build_argparser():
     ap.add_argument("--dp", type=int, default=0, help="dp mesh size (default: all devices)")
     ap.add_argument("--decoder", default="greedy",
                     choices=["greedy", "beam", "sample"])
-    ap.add_argument("--batch", type=int, default=0,
-                    help="eval batch size (default: config.batch_size; decode "
-                    "tokens are batch-size-invariant and batch 128 measured "
-                    "~46%% more captions/s than 32 — BENCH_DETAILS.json)")
+    ap.add_argument("--batch", type=int, default=128,
+                    help="eval batch size (default 128 — decode tokens are "
+                    "batch-size-invariant (tested) and batch 128 measured ~50%% "
+                    "more captions/s than 32, BENCH_DETAILS.json; pass 0 to use "
+                    "config.batch_size)")
     ap.add_argument("--out", default="", help="write results JSON here")
     ap.add_argument("--override_config", action="store_true")
     return ap

@@ -311,3 +311,19 @@ def test_tokenizer_unicode_parity_vs_hf():
             assert tok.encode(text, max_length=12) == hf.encode(
                 text, max_length=12, truncation=True
             ), repr(text)
+
+
+def test_real_vocab_tokenizer_parity():
+    """With the real bert-base-uncased vocab.txt present (see
+    tools/real_vocab_check.py for discovery paths), run the tokenizer parity
+    check + an end-to-end eval at vocab_size=30522; skip cleanly otherwise."""
+    import pytest
+
+    from tools.real_vocab_check import check_tokenizer_parity, find_vocab, run_end_to_end
+
+    path = find_vocab()
+    if not path:
+        pytest.skip("bert-base-uncased vocab.txt not available in this image")
+    assert check_tokenizer_parity(path, n_fuzz=50) == 0
+    metrics = run_end_to_end(path)
+    assert "CIDEr" in metrics

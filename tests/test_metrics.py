@@ -86,6 +86,88 @@ def test_meteor_exact_and_stem():
     assert s3 == 0.0
 
 
+def test_meteor_synonym_module():
+    """Synonym matcher (WordNet-style shared synset, weight 0.8) against a
+    hand-built resource; expected score derived by hand from the 1.5 scheme."""
+    from retr_tpu.metrics.meteor import MeteorResources
+
+    res = MeteorResources(synonyms={"cat": frozenset({1}), "feline": frozenset({1})})
+    base, _ = meteor([["the cat sat"]], ["the feline sat"])
+    got, _ = meteor([["the cat sat"]], ["the feline sat"], resources=res)
+    # hand derivation: matches the(1.0,func) + feline~cat(0.8,content) + sat(1.0,
+    # content); weighted m = .25 + .8*.75 + .75 = 1.6 over weighted len 1.75 on
+    # both sides -> P=R=fmean; 1 chunk over avg 3 matches
+    fmean = (1.6 / 1.75)
+    expected = fmean * (1.0 - 0.6 * (1 / 3) ** 0.2)
+    assert got == pytest.approx(expected, abs=1e-12)
+    assert base < got  # without the resource 'feline' goes unmatched
+    perfect, _ = meteor([["the cat sat"]], ["the cat sat"], resources=res)
+    assert got < perfect  # synonym weight 0.8 < exact 1.0
+
+
+def test_meteor_stage_priority_stem_owns_pair():
+    """Jar stage order: a pair matched by the stem stage is NOT re-matched by the
+    higher-weight synonym stage (exact > stem > synonym > paraphrase)."""
+    from retr_tpu.metrics.meteor import MeteorResources
+
+    res = MeteorResources(
+        synonyms={"running": frozenset({7}), "runs": frozenset({7})})
+    without, _ = meteor([["the dog runs"]], ["the dog running"])
+    with_syn, _ = meteor([["the dog runs"]], ["the dog running"], resources=res)
+    assert with_syn == pytest.approx(without, abs=1e-12)
+
+
+def test_meteor_paraphrase_module_spans():
+    """Paraphrase matcher (weight 0.6) aligns a 1-word hyp span to a 2-word ref
+    span; expected score derived by hand (word-coverage counts, span chunks)."""
+    from retr_tpu.metrics.meteor import MeteorResources
+
+    res = MeteorResources(paraphrases={
+        ("surrendered",): frozenset({("gave", "up")}),
+        ("gave", "up"): frozenset({("surrendered",)}),
+    })
+
+    refs, hyp = [["he gave up the fight"]], ["he surrendered the fight"]
+    base, _ = meteor(refs, hyp)
+    got, _ = meteor(refs, hyp, resources=res)
+    assert base < got
+    # hand derivation (delta=.75): hyp he(f) surrendered(c) the(f) fight(c) ->
+    # wlen 2.0; ref he(f) gave(c) up(f) the(f) fight(c) -> wlen 2.25.
+    # matches: he 1.0f, surrendered<->(gave up) 0.6 covering c+f on ref side,
+    # the 1.0f, fight 1.0c; all contiguous -> 1 chunk over avg (4+5)/2 words.
+    p = (0.25 + 0.6 * 0.75 + 0.25 + 0.75) / 2.0
+    r = (0.25 + 0.6 * 0.75 + 0.6 * 0.25 + 0.25 + 0.75) / 2.25
+    fmean = p * r / (0.85 * p + 0.15 * r)
+    expected = fmean * (1.0 - 0.6 * (1 / 4.5) ** 0.2)
+    assert got == pytest.approx(expected, abs=1e-12)
+
+
+def test_meteor_resources_from_files_and_env(tmp_path, monkeypatch):
+    """File loaders + the RETR_METEOR_* env drop-in path reach NLGEval."""
+    from retr_tpu.metrics.meteor import MeteorResources
+
+    syn = tmp_path / "synsets.txt"
+    syn.write_text("cat feline\ndog canine hound\n")
+    par = tmp_path / "paraphrases.txt"
+    par.write_text("gave up ||| surrendered\nmalformed line without sep\n")
+
+    res = MeteorResources.from_files(str(syn), str(par))
+    assert res.synonym_match("cat", "feline")
+    assert res.synonym_match("hound", "canine")
+    assert not res.synonym_match("cat", "dog")
+    assert not res.synonym_match("cat", "cat")  # exact stage owns identity
+    assert ("surrendered",) in res.paraphrase_targets(("gave", "up"))
+    assert ("gave", "up") in res.paraphrase_targets(("surrendered",))  # symmetric
+    assert res.max_phrase_len == 2
+
+    plain = NLGEval().compute_metrics([["the feline sat"]], ["the cat sat"])
+    monkeypatch.setenv("RETR_METEOR_SYNONYMS", str(syn))
+    monkeypatch.setenv("RETR_METEOR_PARAPHRASES", str(par))
+    enriched = NLGEval().compute_metrics([["the feline sat"]], ["the cat sat"])
+    assert enriched["METEOR"] > plain["METEOR"]
+    assert enriched["Bleu_1"] == plain["Bleu_1"]  # only METEOR consumes resources
+
+
 def test_nlgeval_facade_transposed_refs():
     # reference calls with zip(*)-transposed refs (engine.py:181): ref_list[k][i]
     refs_per_seg = [["the red dog", "a red dog"], ["a small cat", "one small cat"]]

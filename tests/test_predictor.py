@@ -92,6 +92,28 @@ def test_serving_queue_propagates_errors(rng):
     assert raised
 
 
+def test_serving_queue_isolates_bad_request(rng):
+    """One malformed request co-batched with good ones fails ONLY its own future;
+    the innocent co-batched requests still resolve with the correct expressions."""
+    pred = tiny_predictor()
+    img = rng.integers(0, 256, (60, 60, 3), dtype=np.uint8)
+    bb = [5, 5, 30, 30]
+    want = pred.predict(img, bb)
+
+    q = ServingQueue(pred, max_wait_s=0.3)  # long window -> the three coalesce
+    bad = q.submit(img, "not-a-bbox")
+    good = [q.submit(img, bb) for _ in range(2)]
+    results = [f.result(timeout=120) for f in good]
+    try:
+        bad.result(timeout=120)
+        bad_raised = False
+    except Exception:
+        bad_raised = True
+    q.close()
+    assert bad_raised
+    assert results == [want, want]
+
+
 def test_serving_queue_rejects_after_close(rng):
     pred = tiny_predictor()
     q = ServingQueue(pred)
@@ -195,6 +217,58 @@ def test_http_serving_endpoint(rng):
     finally:
         server.shutdown()
         q.close()
+
+
+def test_http_image_path_allowlist(rng, tmp_path):
+    """'image_path' requests are rejected unless the server was started with an
+    allowlist root; with one, only paths inside the root resolve, escapes get a
+    generic 400 body that does not echo the probed path."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from PIL import Image
+
+    from retr_tpu.serve import run_in_thread
+
+    pred = tiny_predictor()
+    img = rng.integers(0, 256, (70, 80, 3), dtype=np.uint8)
+    Image.fromarray(img).save(tmp_path / "ok.png")
+    bbox = [5, 5, 40, 30]
+    want = pred.predict(img, bbox)
+
+    def post(base, body):
+        req = urllib.request.Request(base + "/predict", data=json.dumps(body).encode(),
+                                     headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return 200, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    # default: image_path disabled entirely
+    q1 = ServingQueue(pred, max_wait_s=0.02)
+    server1, base1 = run_in_thread(q1)
+    try:
+        code, body = post(base1, {"image_path": str(tmp_path / "ok.png"), "bbox": bbox})
+        assert code == 400
+        assert str(tmp_path) not in json.dumps(body)  # generic body, no path echo
+    finally:
+        server1.shutdown()
+        q1.close()
+
+    # with an allowlist root: inside resolves, escapes are rejected
+    q2 = ServingQueue(pred, max_wait_s=0.02)
+    server2, base2 = run_in_thread(q2, image_root=str(tmp_path))
+    try:
+        code, body = post(base2, {"image_path": "ok.png", "bbox": bbox})
+        assert code == 200 and body["expression"] == want
+        code, body = post(base2, {"image_path": "../../etc/passwd", "bbox": bbox})
+        assert code == 400
+        assert "passwd" not in json.dumps(body)
+    finally:
+        server2.shutdown()
+        q2.close()
 
 
 def test_predictor_score(rng):

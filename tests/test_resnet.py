@@ -32,7 +32,12 @@ def randomize_bn_stats(module, seed=0):
             buf.copy_(torch.randn(buf.shape, generator=g) * 0.1)
 
 
-@pytest.mark.parametrize("name,dilation", [("ResNet18", False), ("ResNet50", True)])
+@pytest.mark.parametrize(
+    "name,dilation",
+    [("ResNet18", False), ("ResNet50", True), ("ResNet101", True)],
+    # ResNet101+dilation is the reference's default backbone
+    # (configuration_template.py:20-22) — checked directly, not just via ResNet50.
+)
 def test_resnet_parity(name, dilation):
     torch.manual_seed(0)
     tm = TorchResNet(name, dilation=dilation).eval()

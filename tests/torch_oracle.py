@@ -386,16 +386,24 @@ class CaptionModel(nn.Module):
 
 
 @torch.no_grad()
-def greedy_oracle(model_fn, batch, max_len, bos, eos):
+def greedy_oracle(model_fn, batch, max_len, bos, eos, steps=None):
     """Reference batched greedy (eval_utils/decode.py:53-81) against any model_fn
-    (img, img_mask, caption, cap_mask) -> [B, T, V] logits."""
+    (img, img_mask, caption, cap_mask) -> [B, T, V] logits.
+
+    ``steps`` caps the number of decode iterations while keeping the full
+    ``max_len`` buffer/position-table semantics (the reference always decodes
+    over the whole 128 buffer) — used by the full-scale parity artifact, where
+    each oracle step is a full ResNet101+6+6 forward on one CPU core and only
+    the first ``steps`` emitted tokens are compared.
+    """
     b = batch[0].shape[0]
     caption = torch.zeros((b, max_len), dtype=torch.long)
     cap_mask = torch.ones((b, max_len), dtype=torch.bool)
     caption[:, 0] = bos
     cap_mask[:, 0] = False
     finished = torch.zeros(b, dtype=torch.bool)
-    for i in range(max_len - 1):
+    n_steps = max_len - 1 if steps is None else min(steps, max_len - 1)
+    for i in range(n_steps):
         logits = model_fn(*batch, caption, cap_mask)
         pred = torch.argmax(logits[:, i, :], axis=-1)
         finished = torch.logical_or(pred == eos, finished)
