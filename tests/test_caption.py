@@ -131,6 +131,20 @@ def test_caption_global_loc_forward_parity():
     np.testing.assert_allclose(np.asarray(got), ref, atol=5e-4)
 
 
+@pytest.mark.slow
+def test_fullscale_reference_config_parity():
+    """The north star at the reference's FULL default scale (ResNet101+dilation,
+    d=256, h=8, 6+6, ff=2048, vocab 30522, 224px): exact greedy-token equality
+    vs the torch oracle through the production .pth import path, plus a tight
+    teacher-forced logits bound. A trimmed run of tools/parity_fullscale.py
+    (the artifact PARITY_FULLSCALE.json is the batch-8/32-step version)."""
+    from tools.parity_fullscale import run_parity
+
+    art = run_parity(batch=2, steps=6, seed=0, out=None)
+    assert art["token_mismatches"] == 0, art
+    assert art["teacher_forced_logit_max_abs_diff"] < 1e-4, art
+
+
 def test_unimplemented_variant():
     with pytest.raises(NotImplementedError):
         caption.init(jax.random.key(0), tiny_cfg(use_global_features=True))

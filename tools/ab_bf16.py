@@ -14,7 +14,17 @@ far larger logit margins; this tool produces the trained-checkpoint evidence:
 A config is promoted to the benchmark default only if token-neutral or
 metric-neutral here (bench.py documents the chosen mode).
 
+``--train-ab`` runs the TRAINING-precision A/B instead (VERDICT r2 item 5): two
+complete memorization runs from the same init over the identical seeded batch
+stream — one stepping in f32, one with compute_dtype=bfloat16 — then each
+resulting checkpoint is greedy-evaluated at f32 HIGHEST. The artifact records
+both loss curves, final CIDEr/BLEU-4, and how many greedy hypotheses the two
+checkpoints share (the weights differ numerically, so equal-quality convergence,
+not bit-equality, is the bar). Results merge into docs/AB_BF16.json under
+"train_ab".
+
 Usage: python tools/ab_bf16.py [--steps 400] [--ckpt-dir /tmp/retr_ab_ckpt]
+       python tools/ab_bf16.py --train-ab [--steps 400]
 """
 
 from __future__ import annotations
@@ -33,6 +43,72 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 from bench_e2e import make_fixture  # noqa: E402
 
 
+def train_precision_ab(args, base, tok):
+    """Twin training runs (identical init + seeded batch stream), stepping in f32
+    vs bfloat16; each checkpoint then greedy-evaluated at f32 HIGHEST."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from retr_tpu import engine
+    from retr_tpu.data import dataset as ds
+    from retr_tpu.models import caption
+    from retr_tpu.train.state import TrainState, make_optimizer, make_train_step
+
+    eval_set = ds.build_dataset(base, "val", tokenizer=tok, return_unique=True)
+    eval_loader = ds.DataLoader(eval_set, base.batch_size, num_workers=4)
+
+    results, hyps = {}, {}
+    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        train_set = ds.build_dataset(base, "val", tokenizer=tok)
+        loader = ds.DataLoader(train_set, base.batch_size, shuffle=True,
+                               drop_last=True, num_workers=4)  # seed=0 both runs
+        params, _ = caption.build_model(base, jax.random.key(0))  # shared init
+        tx = make_optimizer(base, steps_per_epoch=len(loader))
+        state = TrainState(params, tx.init(params), jnp.int32(0))
+        step = make_train_step(base, tx, compute_dtype=dt, donate=False)
+        curve, epoch = [], 0
+        t0 = time.time()
+        while int(state.step) < args.steps:
+            state, loss = engine.train_one_epoch(state, step, loader,
+                                                 jax.random.key(1), epoch=epoch)
+            curve.append(round(loss, 4))
+            print(f"[{name}] epoch {epoch}: step {int(state.step)} loss {loss:.4f}",
+                  flush=True)
+            epoch += 1
+            if loss < 0.02:
+                break
+        wall = time.time() - t0
+        m, ih = engine.eval_model(state.params, base, eval_loader, tok)
+        hyps[name] = [h["expression"] for h in ih]
+        results[name] = {
+            "loss_curve": curve,
+            "final_loss": curve[-1],
+            "train_wall_s": round(wall, 1),
+            "CIDEr": round(m["CIDEr"], 4),
+            "Bleu_4": round(m["Bleu_4"], 4),
+        }
+        print(name, results[name], flush=True)
+
+    same = sum(a == b for a, b in zip(hyps["f32"], hyps["bf16"]))
+    results["identical_hypotheses"] = f"{same}/{len(hyps['f32'])}"
+    results["note"] = ("different step arithmetic -> numerically different weights;"
+                      " the bar is equal-quality convergence, not bit equality")
+    print(json.dumps(results), flush=True)
+
+    art = os.path.join(REPO, "docs", "AB_BF16.json")
+    merged = {}
+    if os.path.exists(art):
+        with open(art) as f:
+            merged = json.load(f)
+    merged["train_ab"] = results
+    with open(art, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(f"merged into {art}")
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=96)
@@ -45,6 +121,8 @@ def main():
                     help="glob_loc = CaptionGlobalLoc (dual-stream target+context"
                     "+location fusion, BASELINE config 4) — validates bf16 on the"
                     " fusion variant too")
+    ap.add_argument("--train-ab", action="store_true",
+                    help="twin f32-vs-bf16 TRAINING runs + f32 eval of each result")
     args = ap.parse_args()
 
     coco_dir, ref_dir = make_fixture(args.fixture_dir, args.images)
@@ -77,6 +155,9 @@ def main():
         vocab_size=tok.vocab_size, use_pallas_decode=True, lr=1e-4,
         **variant_flags,
     )
+
+    if args.train_ab:
+        return train_precision_ab(args, base, tok)
 
     # ---- train (or load cached) ---------------------------------------------
     ckpt_path = os.path.join(args.ckpt_dir, ckpt.checkpoint_name(base, 0))

@@ -64,6 +64,86 @@ def run_load(queue, paths, bboxes, rate: float, n_requests: int, seed: int = 0):
     return np.asarray(lat, np.float64), wall
 
 
+def run_soak(queue, paths, bboxes, rate: float, duration_s: float,
+             sample_every_s: float = 1.0, seed: int = 0):
+    """Sustained-overload soak: open-loop submission at `rate` req/s for
+    `duration_s`, with a monitor thread sampling queue depth + completion counts.
+    After the window, close() is called WITH the backlog still standing and the
+    drain is asserted graceful: every accepted future reaches a terminal state.
+
+    Returns (series, latencies, summary).
+    """
+    import threading
+
+    rng = np.random.default_rng(seed)
+    lats: list = []
+    lat_lock = threading.Lock()
+    futs = []
+    done_count = [0]
+
+    def make_cb(t_sub):
+        def cb(fut):
+            dt = time.monotonic() - t_sub
+            with lat_lock:
+                lats.append(dt)
+                done_count[0] += 1
+        return cb
+
+    series = []
+    stop_monitor = threading.Event()
+    t0 = time.monotonic()
+
+    def monitor():
+        while not stop_monitor.wait(sample_every_s):
+            series.append({
+                "t_s": round(time.monotonic() - t0, 1),
+                "queue_depth": queue._q.qsize(),
+                "submitted": len(futs),
+                "completed": done_count[0],
+            })
+
+    mon = threading.Thread(target=monitor, daemon=True)
+    mon.start()
+
+    next_t = t0
+    while True:
+        now = time.monotonic()
+        if now - t0 >= duration_s:
+            break
+        next_t += rng.exponential(1.0 / rate)
+        delay = next_t - time.monotonic()
+        if delay > 0:
+            time.sleep(delay)
+        i = len(futs)
+        t_sub = time.monotonic()
+        f = queue.submit(paths[i % len(paths)], bboxes[i % len(bboxes)])
+        f.add_done_callback(make_cb(t_sub))
+        futs.append(f)
+
+    backlog_at_close = queue._q.qsize()
+    t_close = time.monotonic()
+    queue.close(wait=True)  # graceful drain: processes the whole standing backlog
+    drain_s = time.monotonic() - t_close
+    stop_monitor.set()
+    mon.join()
+
+    unresolved = sum(1 for f in futs if not f.done())
+    errors = sum(1 for f in futs if f.done() and f.exception() is not None)
+    summary = {
+        "offered_rate_rps": rate,
+        "duration_s": duration_s,
+        "submitted": len(futs),
+        "completed_ok": len(futs) - errors - unresolved,
+        "errors": errors,
+        "unresolved_futures": unresolved,  # MUST be 0: the drain assertion
+        "backlog_at_close": backlog_at_close,
+        "drain_s": round(drain_s, 1),
+        "achieved_rps_incl_drain": round(len(lats) / (t_close - t0 + drain_s), 2),
+    }
+    assert unresolved == 0, f"{unresolved} futures never resolved after close()"
+    return series, np.asarray(lats, np.float64), summary
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rates", type=float, nargs="+", default=[20.0, 50.0, 100.0],
@@ -83,6 +163,11 @@ def main():
                     help="validated-fastest mode by default (docs/AB_BF16.json)")
     ap.add_argument("--ckpt", default="", help="retr_tpu checkpoint dir; without it "
                     "random weights decode the full 127 steps (worst case)")
+    ap.add_argument("--soak", type=float, default=0.0, metavar="SECONDS",
+                    help="run ONE sustained-overload soak of this duration instead "
+                    "of the rate sweep; asserts a graceful close() drain under load")
+    ap.add_argument("--soak-rate", type=float, default=400.0,
+                    help="offered rate for --soak (default 400 req/s ≈ 3x capacity)")
     args = ap.parse_args()
 
     coco_dir, _ = make_fixture(args.fixture_dir, args.images)
@@ -126,6 +211,22 @@ def main():
 
     # warmup: compile the single padded program shape + warm the host path
     pred.predict_batch([paths[0]] * 2, bboxes[:2], decoder=args.decoder)
+
+    if args.soak:
+        series, lat, summary = run_soak(queue, paths, bboxes, args.soak_rate,
+                                        args.soak)
+        out = {
+            "metric": f"ServingQueue SOAK {args.decoder} ({args.dtype}, max_batch "
+                      f"{args.max_batch}, wait {args.max_wait_s * 1e3:.0f} ms, "
+                      f"depth {args.pipeline_depth})",
+            "summary": summary,
+            "p50_latency_s": round(float(np.percentile(lat, 50)), 3),
+            "p99_latency_s": round(float(np.percentile(lat, 99)), 3),
+            "queue_depth_series": series,
+            "device": str(jax.devices()[0]),
+        }
+        print(json.dumps(out))
+        return
 
     results = []
     for rate in args.rates:

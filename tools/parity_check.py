@@ -59,14 +59,28 @@ if {pallas!r} and jax.default_backend() == "cpu":
     from retr_tpu.ops import decoder_kernels as dk
     dk.FORCE_INTERPRET = True
 ckpt = {checkpoint!r}
-if ckpt:
+if ckpt.endswith(".pth"):
     from retr_tpu.train.checkpoints import import_reference_checkpoint
     params, _ = import_reference_checkpoint(ckpt, cfg)
+elif ckpt:
+    # retr_tpu Orbax checkpoint dir (e.g. the trained /tmp/retr_ab_ckpt model):
+    # config comes embedded; only the decode-path flag is overridden.
+    from retr_tpu.models import caption as cap_mod
+    from retr_tpu.train import checkpoints as ckpt_mod
+    from retr_tpu.train.state import TrainState, make_optimizer
+    cfg = ckpt_mod.config_from_checkpoint(ckpt).replace(
+        use_pallas_decode={pallas!r}, compute_dtype="float32")
+    template, _ = cap_mod.build_model(cfg, jax.random.key(0))
+    tx = make_optimizer(cfg, steps_per_epoch=1)
+    state, _ = ckpt_mod.load_checkpoint(
+        ckpt, TrainState(template, tx.init(template), jnp.int32(0)))
+    params = state.params
 else:
     params, _ = caption.build_model(cfg, jax.random.key({seed}))
+size = cfg.image_size
 rng = np.random.default_rng({seed})
-img = jnp.asarray(rng.normal(size=({batch}, 3, 224, 224)), jnp.float32)
-samples = Masked(img, jnp.zeros(({batch}, 224, 224), bool))
+img = jnp.asarray(rng.normal(size=({batch}, 3, size, size)), jnp.float32)
+samples = Masked(img, jnp.zeros(({batch}, size, size), bool))
 ids = decode.greedy(params, cfg, samples, max_len={max_len}, bos_token=101, eos_token=102)
 np.save(os.environ["PARITY_OUT"], np.asarray(ids))
 """
@@ -161,6 +175,10 @@ def main():
                     help="oracle .pth -> importer -> exact token parity on CPU")
     ap.add_argument("--max-len", type=int, default=128,
                     help="decode steps (reduce for quick CPU-interpreter --pallas runs)")
+    ap.add_argument("--exact", action="store_true",
+                    help="cross-hardware mode 1 demands EXACT token equality (use "
+                    "with a TRAINED checkpoint, where argmax margins are large — "
+                    "the random-weight tie tolerance does not apply)")
     args = ap.parse_args()
 
     if args.checkpoint_selftest:
@@ -176,9 +194,9 @@ def main():
                   pallas=True, max_len=args.max_len)
         sys.exit(report(xla, plk, "XLA", "Pallas", exact_required=True))
 
-    cpu = run("cpu", args.batch, args.seed, args.checkpoint)
-    tpu = run("axon,cpu", args.batch, args.seed, args.checkpoint)
-    sys.exit(report(cpu, tpu, "CPU", "TPU", exact_required=False))
+    cpu = run("cpu", args.batch, args.seed, args.checkpoint, max_len=args.max_len)
+    tpu = run("axon,cpu", args.batch, args.seed, args.checkpoint, max_len=args.max_len)
+    sys.exit(report(cpu, tpu, "CPU", "TPU", exact_required=args.exact))
 
 
 if __name__ == "__main__":

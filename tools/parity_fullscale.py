@@ -45,15 +45,12 @@ IMAGE = 224
 BOS, EOS = 101, 102  # bert-base-uncased [CLS]/[SEP] (eval_utils/decode.py:6-10)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--steps", type=int, default=20,
-                    help="oracle decode steps (each is a full-model CPU forward)")
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_FULLSCALE.json"))
-    args = ap.parse_args()
+def run_parity(batch: int = 4, steps: int = 20, seed: int = 0,
+               out: "str | None" = None) -> dict:
+    """Run the full protocol; returns the artifact dict (and writes it to `out`)."""
+    import types
 
+    args = types.SimpleNamespace(batch=batch, steps=steps, seed=seed, out=out)
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -173,10 +170,23 @@ def main():
         "weights": "shared random init via reference-format .pth -> "
                    "train/checkpoints.import_reference_checkpoint (production path)",
     }
-    with open(args.out, "w") as f:
-        json.dump(artifact, f, indent=2)
-    print(f"wrote {args.out}")
-    sys.exit(0 if n_bad == 0 else 1)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
+        print(f"wrote {args.out}")
+    return artifact
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=20,
+                    help="oracle decode steps (each is a full-model CPU forward)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_FULLSCALE.json"))
+    args = ap.parse_args()
+    artifact = run_parity(args.batch, args.steps, args.seed, args.out)
+    sys.exit(0 if artifact["token_mismatches"] == 0 else 1)
 
 
 if __name__ == "__main__":

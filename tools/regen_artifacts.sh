@@ -6,12 +6,17 @@
 # remote compiles on the first run.
 #
 # Artifacts produced:
+#   PARITY_FULLSCALE.json        exact token parity at the reference's full scale
 #   BENCH_DETAILS.json           full benchmark matrix (tools/bench_full.py)
 #   docs/AB_BF16.json            bf16 A/B on trained ckpts, both variants
-#   docs/BENCH_SERVING.json      serving latency under open-loop load
+#                                (+ train_ab: f32-vs-bf16 TRAINING twin runs)
+#   docs/BENCH_SERVING.json      serving latency under open-loop load + 60s soak
 #   stdout JSON lines            e2e eval (host-inclusive) greedy + beam
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+echo "== 0/5 full-scale parity artifact (CPU; reference default config) =="
+JAX_PLATFORMS=cpu python tools/parity_fullscale.py --batch 8 --steps 32
 
 echo "== 1/5 bf16 A/B + trained checkpoints (base variant) =="
 python tools/ab_bf16.py | tail -1 > /tmp/ab_base.json
@@ -24,8 +29,12 @@ glob = json.load(open("/tmp/ab_glob.json"))
 cur = json.load(open("docs/AB_BF16.json"))
 out = {"base_variant": base, "glob_loc_variant": glob,
        "note": cur.get("note", "")}
+if "train_ab" in cur:
+    out["train_ab"] = cur["train_ab"]
 json.dump(out, open("docs/AB_BF16.json", "w"), indent=2)
 EOF
+echo "== 2b/5 f32-vs-bf16 TRAINING twin runs (merges train_ab into AB_BF16) =="
+python tools/ab_bf16.py --train-ab | tail -2
 
 echo "== 3/5 full benchmark matrix =="
 python tools/bench_full.py
@@ -46,6 +55,17 @@ new = json.load(open("/tmp/serving_sweep.json"))
 cur["latest_sweep"] = new  # keep prior sweeps; transport varies >2x across hours
 json.dump(cur, open("docs/BENCH_SERVING.json", "w"), indent=2)
 print(json.dumps(new))
+PYEOF
+
+echo "== 5b/5 serving soak: 60 s sustained overload + graceful-drain assertion =="
+python tools/bench_serving.py --ckpt /tmp/retr_ab_ckpt/Concat_refcoco_checkpoint_0 \
+    --soak 60 --soak-rate 400 | tail -1 > /tmp/serving_soak.json
+python - <<'PYEOF'
+import json
+cur = json.load(open("docs/BENCH_SERVING.json"))
+cur["soak"] = json.load(open("/tmp/serving_soak.json"))
+json.dump(cur, open("docs/BENCH_SERVING.json", "w"), indent=2)
+print(json.dumps(cur["soak"]["summary"]))
 PYEOF
 
 echo "done — review git diff of BENCH_DETAILS.json / docs/*.json before committing."
