@@ -396,6 +396,14 @@ def beam_search_from_memory(
     finished = jnp.zeros((b, k), bool)
     anc = jnp.zeros((b, k, max_len), jnp.int32)
 
+    use_topk_head = False
+    if transformer._pallas_decode_eligible(cfg, b * k):
+        from retr_tpu.ops import decoder_kernels as dk
+
+        use_topk_head = dk.BEAM_TOPK_KERNEL and (
+            dk.FORCE_INTERPRET or jax.default_backend() != "cpu"
+        )
+
     def cond(cst: _BeamCarry):
         return jnp.logical_and(cst.step < max_len - 1, ~jnp.all(cst.finished))
 
@@ -406,22 +414,36 @@ def beam_search_from_memory(
         hs, cache = transformer.decode_step_beam(
             params["transformer"], cst.cache, cross, cur, cst.step, cfg, anc, k
         )
-        logits = caption.mlp_head(params["mlp"], hs).astype(jnp.float32)  # [B*K, V]
+        if use_topk_head:
+            from retr_tpu.ops import decoder_kernels as dk
 
-        # two-stage top-k: the global k best continuations include at most k per
-        # beam, so take per-beam top-k over the vocab first and combine the [K, K]
-        # shortlist — never materializing the [B, K*V] candidate matrix. top_k runs
-        # on the RAW logits (the per-row logsumexp shift preserves order and ties),
-        # so the full [B*K, V] log_softmax array is never materialized; log-probs
-        # are computed for the k winners only — bitwise identical values
-        # (subtraction commutes with the gather).
-        row_logits, row_tokens = jax.lax.top_k(logits, k)    # [B*K, K]
-        # exact log_softmax association (x - m) - log(sum(exp(x - m))) so the
-        # winner values are bitwise what gathering log_softmax would give
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        log_z = jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
-        row_scores = ((row_logits - m) - log_z).reshape(b, k, k)
-        row_tokens = row_tokens.reshape(b, k, k).astype(jnp.int32)
+            # fused head tail: last matmul + per-row top-k + logsumexp in one
+            # vocab-blocked kernel — the [B*K, V] logits never reach HBM. Token
+            # selection is exact (raw logit values, first-index ties); the
+            # winners' log-probs differ from the flat path only by logsumexp
+            # summation association (f32 rounding).
+            row_scores, row_tokens = dk.mlp_head_topk(
+                params["mlp"], hs, k, interpret=dk.FORCE_INTERPRET
+            )
+            row_scores = row_scores.reshape(b, k, k)
+            row_tokens = row_tokens.reshape(b, k, k).astype(jnp.int32)
+        else:
+            logits = caption.mlp_head(params["mlp"], hs).astype(jnp.float32)  # [B*K, V]
+
+            # two-stage top-k: the global k best continuations include at most k
+            # per beam, so take per-beam top-k over the vocab first and combine
+            # the [K, K] shortlist — never materializing the [B, K*V] candidate
+            # matrix. top_k runs on the RAW logits (the per-row logsumexp shift
+            # preserves order and ties), so the full [B*K, V] log_softmax array
+            # is never materialized; log-probs are computed for the k winners
+            # only — bitwise identical values (subtraction commutes with gather).
+            row_logits, row_tokens = jax.lax.top_k(logits, k)    # [B*K, K]
+            # exact log_softmax association (x - m) - log(sum(exp(x - m))) so the
+            # winner values are bitwise what gathering log_softmax would give
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            log_z = jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+            row_scores = ((row_logits - m) - log_z).reshape(b, k, k)
+            row_tokens = row_tokens.reshape(b, k, k).astype(jnp.int32)
 
         # finished beams: single EOS continuation with no score change.
         fin = cst.finished[:, :, None]

@@ -159,6 +159,7 @@ def train_one_epoch(
     logger: Optional[MetricLogger] = None,
     pipeline_depth: int = 2,
     mesh=None,
+    stage_uploads: bool = False,
 ) -> Tuple[TrainState, float]:
     """One training epoch (reference engine.py:52-87).
 
@@ -166,10 +167,13 @@ def train_one_epoch(
     batches are replicated instead — value-identical, just unsharded), so the jit
     step runs SPMD across the mesh; pass params already sharded (parallel.mesh).
 
-    Two overlaps keep the device busy: (1) the host->device batch build/upload for
-    step n+1 runs on a background staging thread while step n dispatches (the
-    inline upload previously serialized ~4.8 MB of uint8 per step onto the
-    critical path); (2) the loss fetch is pipelined ``pipeline_depth`` steps
+    ``stage_uploads=True`` builds/uploads batch n+1 on a background staging
+    thread while step n dispatches — the right setting on real TPU hosts, where
+    the ~4.8 MB uint8 transfer rides DMA concurrently with compute. It is OFF by
+    default because on this project's tunneled dev chip all device traffic
+    serializes on one connection and the interleaved A/B measured staged ≈
+    inline (tools/exp_r3.py --stage-ab; docs/PERF.md round-3 entry). The loss
+    fetch is pipelined ``pipeline_depth`` steps
     behind the dispatch: JAX dispatch is async, so the host enqueues step n+1
     while step n executes, and the
     device-to-host loss read (a full transport round trip under axon) overlaps
@@ -208,7 +212,12 @@ def train_one_epoch(
         b = device_batch(host_batch, train=True, key=jax.random.fold_in(epoch_key, i))
         return _shard_batch_on(mesh, b)
 
-    for batch in _staged_batches(loader, make_batch, depth=2):
+    if stage_uploads:
+        batches = _staged_batches(loader, make_batch, depth=2)
+    else:  # inline upload between dispatches (A/B + debugging path)
+        batches = (make_batch(i, hb) for i, hb in enumerate(loader))
+
+    for batch in batches:
         state, loss = step_fn(state, batch, epoch_key)
         n += 1
         pending.append((step0 + n, loss))

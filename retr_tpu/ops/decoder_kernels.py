@@ -534,6 +534,114 @@ def mlp_head_argmax(p: Params, x: jax.Array, *, interpret: bool = False) -> jax.
 
 
 # ---------------------------------------------------------------------------------
+# Fused head tail for BEAM search: last head matmul + per-row top-k + logsumexp
+# in one vocab-blocked program — the [B*K, 30522] logits never reach HBM.
+# ---------------------------------------------------------------------------------
+
+BEAM_TOPK_KERNEL = False  # measured NEUTRAL on TPU at [160, 30522]/k=5 (270.9 vs
+                          # 268.0 ms/batch, tools/exp_r3.py --beam-ab): the flat
+                          # lax.top_k+logsumexp tail is not the beam bottleneck —
+                          # the loop is attention/step-overhead-bound. Also 0.07%
+                          # of tokens flip vs the flat path (blockwise logsumexp
+                          # association perturbs near-tie candidate rankings).
+                          # Kept flag-gated + interpreter-tested, like HEAD_KERNEL.
+
+
+def _head_topk_kernel(h2_ref, w3_ref, b3_ref, vals_ref, idx_ref, m_ref, s_ref,
+                      *, block_v: int, k: int):
+    """Grid over vocab blocks. Emits per block and per row: the top-k (value,
+    global index) pairs, the block max, and sum(exp(logits - block_max)) — the
+    sufficient statistics to reconstruct exact top-k + logsumexp outside.
+    Unlike the greedy argmax kernel, the 256->512->512 trunk runs ONCE in XLA
+    (it is ~2 GFLOP/step at B*K=160 if recomputed across 15 blocks)."""
+    gi = pl.program_id(0)
+    logits = _dot(h2_ref[:], w3_ref[:]) + b3_ref[:]          # [B, block_v] f32
+    m = jnp.max(logits, axis=-1, keepdims=True)              # [B, 1]
+    s = jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)
+    m_ref[0] = m.astype(jnp.float32).T                       # [1, B]
+    s_ref[0] = s.astype(jnp.float32).T
+    lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    work = logits
+    val_rows, idx_rows = [], []
+    for _ in range(k):  # k is tiny + static: unrolled max-and-mask selection
+        sm = jnp.max(work, axis=-1, keepdims=True)
+        first = jnp.min(jnp.where(work == sm, lane, jnp.int32(2**30)),
+                        axis=-1, keepdims=True)
+        val_rows.append(sm.astype(jnp.float32).T)            # [1, B]
+        idx_rows.append((first.T + gi * block_v).astype(jnp.int32))
+        work = jnp.where(lane == first, jnp.float32(-3e38), work)
+    vals_ref[0] = jnp.concatenate(val_rows, axis=0)          # [k, B]
+    idx_ref[0] = jnp.concatenate(idx_rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def mlp_head_topk(p: Params, x: jax.Array, k: int, *, interpret: bool = False):
+    """x: [B, C] hidden -> (log_softmax top-k values [B, k], token ids [B, k]).
+
+    Value-matches ``lax.top_k(mlp_head(x), k)`` + the winners' exact log_softmax
+    (``(v - max) - log(sum(exp(logits - max)))``) with first-index tie-breaking,
+    up to logsumexp summation association (blockwise online combine vs one flat
+    sum — bounded by f32 rounding; token selection itself uses RAW logit values
+    and is exact). The [B, V] logits stay in VMEM slabs.
+    """
+    w1, b1 = p["layers"][0]["w"], p["layers"][0]["b"]
+    w2, b2 = p["layers"][1]["w"], p["layers"][1]["b"]
+    w3, b3 = p["layers"][2]["w"], p["layers"][2]["b"]
+    # trunk in XLA (tiny), identical ops to caption.mlp_head's first two layers
+    h1 = jax.nn.relu(jnp.dot(x, w1) + b1)
+    h2 = jax.nn.relu(jnp.dot(h1, w2) + b2)
+
+    b = h2.shape[0]
+    c = h2.shape[1]
+    v = w3.shape[1]
+    block_v = 2048
+    v_pad = ((v + block_v - 1) // block_v) * block_v
+    g = v_pad // block_v
+    if v_pad != v:
+        w3 = jnp.pad(w3, ((0, 0), (0, v_pad - v)))
+        b3 = jnp.pad(b3, (0, v_pad - v), constant_values=-1e30)  # never wins / exp->0
+
+    vals, idx, m, s = pl.pallas_call(
+        functools.partial(_head_topk_kernel, block_v=block_v, k=k),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((b, c), lambda gi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, block_v), lambda gi: (0, gi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_v,), lambda gi: (gi,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k, b), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, b), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, b), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, b), lambda gi: (gi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, k, b), jnp.float32),
+            jax.ShapeDtypeStruct((g, k, b), jnp.int32),
+            jax.ShapeDtypeStruct((g, 1, b), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, b), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h2, w3, b3)
+
+    # online logsumexp combine across blocks: [G, B] -> [B]
+    m2, s2 = m[:, 0, :], s[:, 0, :]
+    M = jnp.max(m2, axis=0)                                   # [B]
+    Z = jnp.sum(s2 * jnp.exp(m2 - M[None, :]), axis=0)
+    log_z = jnp.log(Z)
+
+    # global top-k over the G*k block candidates; flat order = (block, slot) =
+    # descending-value-then-first-index within a block, so lax.top_k's positional
+    # tie-break reproduces global first-index tie semantics.
+    flat_vals = vals.transpose(2, 0, 1).reshape(b, g * k)     # [B, G*k]
+    flat_idx = idx.transpose(2, 0, 1).reshape(b, g * k)
+    top_vals, pos = jax.lax.top_k(flat_vals, k)               # [B, k]
+    tokens = jnp.take_along_axis(flat_idx, pos, axis=1)
+    scores = (top_vals - M[:, None]) - log_z[:, None]
+    return scores, tokens
+
+
+# ---------------------------------------------------------------------------------
 # Whole-layer fused step: self-attn + cross-attn + FF in ONE program per layer.
 # Grid = (batch blocks, 2H+1 phases): phases 0..H-1 self heads, H..2H-1 cross heads,
 # 2H the FF tail. Two VMEM scratch accumulators carry the intermediate residuals

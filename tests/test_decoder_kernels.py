@@ -171,6 +171,61 @@ def test_mlp_head_argmax_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_mlp_head_topk_matches_xla(rng):
+    """Fused beam head tail (top-k + logsumexp over vocab blocks) vs the flat XLA
+    reference: token ids exactly equal (raw-logit selection, first-index ties);
+    log-softmax scores equal up to logsumexp summation association."""
+    from retr_tpu.models import layers as L
+    from retr_tpu.models.caption import mlp_head
+
+    key = jax.random.key(12)
+    c, k = 64, 5
+    p = {
+        "layers": [
+            L.torch_linear_init(jax.random.fold_in(key, 0), c, 96),
+            L.torch_linear_init(jax.random.fold_in(key, 1), 96, 96),
+            L.torch_linear_init(jax.random.fold_in(key, 2), 96, 5000),  # non-2048-multiple
+        ]
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 3), (16, c))
+
+    logits = mlp_head(p, x).astype(jnp.float32)
+    ref_vals, ref_tokens = jax.lax.top_k(logits, k)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    log_z = jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+    ref_scores = (ref_vals - m) - log_z
+
+    got_scores, got_tokens = dk.mlp_head_topk(p, x, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_tokens), np.asarray(ref_tokens))
+    np.testing.assert_allclose(np.asarray(got_scores), np.asarray(ref_scores),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_mlp_head_topk_tie_breaking():
+    """k identical columns spread across vocab blocks: the fused path must return
+    them in ascending index order, exactly like lax.top_k on the flat logits."""
+    c = 8
+    v = 5000
+    w3 = np.zeros((c, v), np.float32)
+    for col in (3, 2047, 2048, 4096, 4999):  # equal columns straddling blocks
+        w3[:, col] = 1.0
+    p = {
+        "layers": [
+            {"w": jnp.eye(c), "b": jnp.zeros(c)},
+            {"w": jnp.eye(c), "b": jnp.zeros(c)},
+            {"w": jnp.asarray(w3), "b": jnp.zeros(v)},
+        ]
+    }
+    x = jnp.abs(jax.random.normal(jax.random.key(1), (8, c))) + 0.1
+    from retr_tpu.models.caption import mlp_head
+
+    logits = mlp_head(p, x).astype(jnp.float32)
+    _, ref_tokens = jax.lax.top_k(logits, 5)
+    got_scores, got_tokens = dk.mlp_head_topk(p, x, 5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_tokens), np.asarray(ref_tokens))
+    assert (np.asarray(got_tokens) == np.asarray([3, 2047, 2048, 4096, 4999])).all()
+
+
 def test_mlp_head_argmax_tie_breaking():
     # two identical logit columns: both paths must pick the FIRST index
     c = 8
