@@ -2,11 +2,12 @@
 
 Measures batched greedy over RefCOCO-val-shaped inputs with static padding on the
 real TPU chip, against the measured PyTorch CPU reference denominator (BASELINE.md:
-"baseline numbers must be measured, not quoted"). The HEADLINE row is batch 128 —
-the best validated configuration (decode tokens are batch-size-invariant, tested at
-tests/test_caption.py; ~50% more captions/s than batch 32, BENCH_DETAILS.json) and
-the sweep CLI's default eval batch. The reference-config batch-32 number (BASELINE.md
-config 2) is reported alongside for round-over-round continuity.
+"baseline numbers must be measured, not quoted"). The HEADLINE row is batch 256 —
+the saturation point of the measured batch-scaling curve (tools/exp_batch_scale.py:
+256 = +6% over 128, 320 plateaus, 384 exceeds the ff-block VMEM budget; decode
+tokens are batch-size-invariant, tested at tests/test_caption.py) and the sweep
+CLI's default eval batch. Batch-128 (round-2 headline) and batch-32 (reference
+config, BASELINE.md config 2) rows are reported alongside for continuity.
 
 Both sides decode the full 127 steps (EOS set unreachable) so the comparison is
 step-for-step fair:
@@ -33,7 +34,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 BATCH = 32             # reference config batch (denominator + continuity row)
-HEADLINE_BATCH = 128   # best validated eval batch (BENCH_DETAILS.json config 7)
+MID_BATCH = 128        # round-2 headline batch (continuity row)
+HEADLINE_BATCH = 256   # batch-scaling saturation point (tools/exp_batch_scale.py)
 MAX_LEN = 128          # config.max_position_embeddings — engine.py:161 decodes at 128
 DECODE_STEPS = MAX_LEN - 1
 IMAGE = 224
@@ -159,13 +161,16 @@ def main():
     from retr_tpu.models import caption
 
     params, _ = caption.build_model(flagship_cfg(), jax.random.key(0))
-    tpu128 = measure_tpu(HEADLINE_BATCH, params=params)
+    tpu256 = measure_tpu(HEADLINE_BATCH, params=params)
+    tpu128 = measure_tpu(MID_BATCH, params=params)
     tpu32 = measure_tpu(BATCH, params=params)
     out = {
-        "metric": "refcoco-val batched greedy (batch 128, 127 steps): expressions/sec/chip",
-        "value": round(tpu128["captions_per_sec"], 3),
+        "metric": "refcoco-val batched greedy (batch 256, 127 steps): expressions/sec/chip",
+        "value": round(tpu256["captions_per_sec"], 3),
         "unit": "captions/s",
-        "vs_baseline": round(tpu128["captions_per_sec"] / baseline, 2),
+        "vs_baseline": round(tpu256["captions_per_sec"] / baseline, 2),
+        "batch128_captions_per_sec": round(tpu128["captions_per_sec"], 3),
+        "batch128_vs_baseline": round(tpu128["captions_per_sec"] / baseline, 2),
         "batch32_captions_per_sec": round(tpu32["captions_per_sec"], 3),
         "batch32_vs_baseline": round(tpu32["captions_per_sec"] / baseline, 2),
     }

@@ -72,9 +72,9 @@ def build_argparser():
     ap.add_argument("--dp", type=int, default=0, help="dp mesh size (default: all devices)")
     ap.add_argument("--decoder", default="greedy",
                     choices=["greedy", "beam", "sample"])
-    ap.add_argument("--batch", type=int, default=128,
-                    help="eval batch size (default 128 — decode tokens are "
-                    "batch-size-invariant (tested) and batch 128 measured ~50%% "
+    ap.add_argument("--batch", type=int, default=256,
+                    help="eval batch size (default 256 — decode tokens are "
+                    "batch-size-invariant (tested) and batch 256 measured ~90%% "
                     "more captions/s than 32, BENCH_DETAILS.json; pass 0 to use "
                     "config.batch_size)")
     ap.add_argument("--out", default="", help="write results JSON here")

@@ -134,6 +134,16 @@ def main():
         "captions_per_sec": 128 / t,
     }
 
+    # 10 (extra): batch-256 greedy — the batch-scaling saturation point
+    # (tools/exp_batch_scale.py: 320 plateaus, 384 exceeds the ff-block VMEM
+    # budget); headline row of bench.py and the sweep CLI default.
+    s256 = samples_of(256)
+    t = _timed(lambda: decode.greedy(params, cfg, s256, **kwargs))
+    results["10_batch256_greedy"] = {
+        "latency_s_per_batch": t,
+        "captions_per_sec": 256 / t,
+    }
+
     # 9 (extra): stochastic sampling decoder, batch 32 (temperature 1, top-k 50) —
     # the extension's cost vs greedy (same KV-cached loop + filter/categorical)
     t = _timed(lambda: decode.sample(params, cfg, s32, jax.random.key(3),

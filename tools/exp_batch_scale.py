@@ -1,0 +1,89 @@
+"""Greedy-decode batch-scaling probe: does batch >128 keep amortizing the
+fusion-count-bound per-step overhead (docs/PERF.md)?
+
+The decode step's cost is dominated by fixed per-fusion/per-kernel launch
+overhead, which is independent of the batch dimension — so captions/s rises
+with batch until bytes/FLOPs take over. Batch 128 is the current headline
+(BENCH_DETAILS.json config 7). This probe measures 128/192/256/384 under the
+same protocol as bench.py (EOS unreachable -> full 127 steps; 5 batches in
+flight; median of 3 rounds) and checks token invariance vs batch 128.
+
+Run on an idle host (no concurrent pytest).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+IMAGE, MAX_LEN = 224, 128
+
+
+def flagship():
+    from retr_tpu.config import Config
+
+    return Config(backbone="ResNet50", dilation=True, dropout=0.1,
+                  use_pallas_decode=True, compute_dtype="bfloat16")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+", default=[128, 192, 256, 384])
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--rounds", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from retr_tpu import decode
+    from retr_tpu.masking import Masked
+    from retr_tpu.models import caption
+
+    cfg = flagship()
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    kwargs = dict(max_len=MAX_LEN, bos_token=101, eos_token=cfg.vocab_size + 1,
+                  compute_dtype=jnp.dtype(cfg.compute_dtype))
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(max(args.batches), 3, IMAGE, IMAGE)).astype(np.float32)
+
+    ref_tokens = None  # batch-invariance check: first 32 rows identical everywhere
+    results = {}
+    for b in args.batches:
+        img = jnp.asarray(base[:b])
+        samples = Masked(img, jnp.zeros((b, IMAGE, IMAGE), dtype=bool))
+        ids = decode.greedy(params, cfg, samples, **kwargs)
+        toks = np.asarray(ids)  # compile + warmup (host fetch = real barrier)
+        if ref_tokens is None:
+            ref_tokens = toks[:32]
+            inv = True
+        else:
+            inv = bool(np.array_equal(toks[:32], ref_tokens))
+
+        dts = []
+        for _ in range(args.rounds):
+            t0 = time.perf_counter()
+            outs = [decode.greedy(params, cfg, samples, **kwargs)
+                    for _ in range(args.reps)]
+            for o in outs:
+                np.asarray(o)
+            dts.append((time.perf_counter() - t0) / args.reps)
+        dt = float(np.median(dts))
+        results[b] = {"ms_per_batch": round(dt * 1e3, 1),
+                      "captions_per_sec": round(b / dt, 1),
+                      "tokens_match_batch128_rows": inv}
+        print(json.dumps({"batch": b, **results[b]}), flush=True)
+
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,324 @@
+"""Speed-of-light (roofline) accounting for the hot paths.
+
+Three modes; outputs combine into docs/ROOFLINE.md:
+
+  --mode analytic   (CPU) exact FLOP counts from XLA's own cost model
+                    (`compiled.cost_analysis()`) for the real programs — encode
+                    forward, one KV-cached decode step (+head+argmax), train
+                    step — plus the *minimal* HBM traffic floor computed from
+                    the param/cache pytrees (weights read once + caches read
+                    once + activations ignored). Writes /tmp/roofline_analytic.json.
+  --mode measure    (TPU) measures encode-only and full-greedy wall time at the
+                    flagship config (chained dispatches, host-fetch barrier,
+                    median of rounds — the bench.py protocol) and the train
+                    step; derives per-decode-step ms. Writes /tmp/roofline_measured.json.
+  --mode report     combines the two JSONs with the chip peaks into
+                    docs/ROOFLINE.md.
+
+Peaks default to TPU v5e (v5 lite): 197 TFLOP/s bf16, 819 GB/s HBM.
+
+The point (docs/PERF.md is the narrative companion): say *quantitatively* how
+far each hot loop sits from the hardware ceiling and why the remaining gap is
+(measured to be) structural — per-fusion fixed cost on sub-millisecond steps —
+rather than unclaimed kernel work.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+IMAGE, MAX_LEN = 224, 128
+ANALYTIC_PATH = "/tmp/roofline_analytic.json"
+MEASURED_PATH = "/tmp/roofline_measured.json"
+
+
+def flagship(use_pallas: bool):
+    from retr_tpu.config import Config
+
+    return Config(backbone="ResNet50", dilation=True, dropout=0.1,
+                  use_pallas_decode=use_pallas, compute_dtype="bfloat16")
+
+
+def _tree_bytes(tree, dtype_size):
+    import jax
+
+    return sum(int(np.prod(x.shape)) * dtype_size for x in jax.tree_util.tree_leaves(tree))
+
+
+def _cost(jitted, *args):
+    c = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(c, list):  # older jax returns one dict per device program
+        c = c[0]
+    return {"flops": float(c.get("flops", 0.0)),
+            "bytes": float(c.get("bytes accessed", 0.0))}
+
+
+def analytic(batch: int):
+    # Force CPU AFTER importing jax — the axon plugin overrides JAX_PLATFORMS
+    # (docs/ROADMAP.md gotchas).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from retr_tpu.masking import Masked
+    from retr_tpu.models import caption, transformer
+    from retr_tpu.train import state as tstate
+
+    cfg = flagship(use_pallas=False)  # XLA path → cost model sees the real math
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    cdt = jnp.dtype(cfg.compute_dtype)
+    img = jnp.zeros((batch, 3, IMAGE, IMAGE), jnp.float32)
+    samples = Masked(img, jnp.zeros((batch, IMAGE, IMAGE), dtype=bool))
+
+    out = {"batch": batch, "compute_dtype": str(cdt)}
+
+    # -- encode forward (backbone + 6-layer encoder), the once-per-batch half
+    enc = jax.jit(lambda p, s: caption.encode(p, cfg, s, compute_dtype=cdt))
+    out["encode"] = _cost(enc, params, samples)
+
+    # -- one decode step: embed + 6 cached decoder layers + MLP head + argmax
+    # (eval_shape: build memory/pos without executing the batch-128 backbone on CPU)
+    mem_s, mask_s, pos_s = jax.eval_shape(enc, params, samples)
+    memory = jnp.zeros(mem_s.shape, mem_s.dtype)
+    mem_mask = jnp.zeros(mask_s.shape, mask_s.dtype)
+    pos = jnp.zeros(pos_s.shape, pos_s.dtype)
+    cache, cross = transformer.init_decode_state(
+        params["transformer"], memory, mem_mask, pos, cfg, MAX_LEN
+    )
+
+    def step_fn(p, cache, cross, tok, step):
+        hs, cache = transformer.decode_step(p["transformer"], cache, cross, tok, step, cfg)
+        logits = caption.mlp_head(p["mlp"], hs.reshape(hs.shape[0], -1))
+        return jnp.argmax(logits, axis=-1), cache
+
+    tok = jnp.full((batch,), 101, jnp.int32)
+    out["decode_step"] = _cost(jax.jit(step_fn), params, cache, cross, tok, jnp.int32(5))
+
+    # decode-step minimal HBM traffic: decoder+head weights + the KV caches
+    # + cross K/V are *read once*; everything else stays in VMEM.
+    dsz = cdt.itemsize
+    dec_params = {"dec": params["transformer"]["decoder"], "mlp": params["mlp"],
+                  "emb": params["transformer"]["embeddings"]}
+    floor = (_tree_bytes(dec_params, dsz)
+             + _tree_bytes(cache, dsz)
+             + _tree_bytes((cross.cross_k, cross.cross_v), dsz))
+    out["decode_step"]["min_bytes_floor"] = floor
+    out["decode_step"]["note"] = (
+        "min_bytes_floor = decoder+embed+head weights + self KV caches + cross K/V, "
+        "each read once per step (activations assumed VMEM-resident)"
+    )
+
+    # -- train step (fwd+bwd+AdamW) at the same batch
+    tcfg = flagship(use_pallas=False)
+    t_cap = tcfg.max_position_embeddings + 1
+    tbatch = tstate.Batch(
+        images=img,
+        image_masks=jnp.zeros((batch, IMAGE, IMAGE), dtype=bool),
+        caps=jnp.zeros((batch, t_cap), jnp.int32),
+        cap_masks=jnp.zeros((batch, t_cap), dtype=bool),
+    )
+    tx = tstate.make_optimizer(tcfg, steps_per_epoch=1000)
+    st = tstate.TrainState(params, tx.init(params), jnp.int32(0))
+    step_d = tstate.make_train_step(tcfg, tx, donate=False)
+    out["train_step"] = _cost(step_d, st, tbatch, jax.random.key(0))
+
+    with open(ANALYTIC_PATH, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+def measure(batch: int, reps: int, rounds: int):
+    import jax
+    import jax.numpy as jnp
+
+    from retr_tpu import decode
+    from retr_tpu.masking import Masked
+    from retr_tpu.models import caption
+    from retr_tpu.train import state as tstate
+
+    cfg = flagship(use_pallas=True)
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    cdt = jnp.dtype(cfg.compute_dtype)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(batch, 3, IMAGE, IMAGE)), jnp.float32)
+    samples = Masked(img, jnp.zeros((batch, IMAGE, IMAGE), dtype=bool))
+
+    def timed(fn, fetch):
+        fetch(fn())  # compile + warmup; only a host fetch is a real barrier
+        dts = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            outs = [fn() for _ in range(reps)]
+            for o in outs:
+                fetch(o)
+            dts.append((time.perf_counter() - t0) / reps)
+        return float(np.median(dts))
+
+    # scalar output: fetching the [B,S,C] memory over the tunnel costs ~0.5 s and
+    # would swamp the compute time (docs/ROADMAP.md gotchas) — sum on device.
+    enc = jax.jit(
+        lambda p, s: caption.encode(p, cfg, s, compute_dtype=cdt)[0].sum()
+    )
+    t_enc = timed(lambda: enc(params, samples), lambda o: np.asarray(o))
+
+    gkw = dict(max_len=MAX_LEN, bos_token=101, eos_token=cfg.vocab_size + 1,
+               compute_dtype=cdt)
+    t_full = timed(lambda: decode.greedy(params, cfg, samples, **gkw),
+                   lambda o: np.asarray(o))
+
+    # train step at the same batch
+    t_cap = cfg.max_position_embeddings + 1
+    tbatch = tstate.Batch(
+        images=img,
+        image_masks=jnp.zeros((batch, IMAGE, IMAGE), dtype=bool),
+        caps=jnp.asarray(rng.integers(1, cfg.vocab_size, (batch, t_cap)), jnp.int32),
+        cap_masks=jnp.zeros((batch, t_cap), dtype=bool),
+    )
+    tx = tstate.make_optimizer(cfg, steps_per_epoch=1000)
+    st = tstate.TrainState(params, tx.init(params), jnp.int32(0))
+    step_d = tstate.make_train_step(cfg, tx, donate=False)
+    key = jax.random.key(0)
+
+    def train_once():
+        _, loss = step_d(st, tbatch, key)
+        return loss
+
+    t_train = timed(train_once, lambda o: np.asarray(o))
+
+    out = {
+        "batch": batch,
+        "device": str(jax.devices()[0]),
+        "encode_s": t_enc,
+        "greedy_full_s": t_full,
+        "decode_steps": MAX_LEN - 1,
+        "decode_step_s": (t_full - t_enc) / (MAX_LEN - 1),
+        "train_step_s": t_train,
+    }
+    with open(MEASURED_PATH, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+def report(peak_flops: float, peak_bw: float):
+    a = json.load(open(ANALYTIC_PATH))
+    m = json.load(open(MEASURED_PATH))
+    assert a["batch"] == m["batch"], "analytic/measured batch mismatch"
+    b = a["batch"]
+
+    def row(name, flops, floor_bytes, t):
+        # floor_bytes=None: XLA's CPU-layout byte counts are not meaningful HBM
+        # traffic for TPU; those paths get a FLOPs-only (compute-roof) SoL.
+        t_flops = flops / peak_flops
+        t_bw = floor_bytes / peak_bw if floor_bytes else 0.0
+        sol = max(t_flops, t_bw)
+        bound = "compute (flops-only)" if t_flops >= t_bw else "bandwidth"
+        return {
+            "path": name, "measured_ms": t * 1e3, "sol_ms": sol * 1e3,
+            "sol_fraction": sol / t, "bound": bound,
+            "gflops": flops / 1e9,
+            "hbm_mb": floor_bytes / 1e6 if floor_bytes else None,
+        }
+
+    rows = [
+        row("encode (backbone+encoder fwd)", a["encode"]["flops"],
+            None, m["encode_s"]),
+        row("decode step (KV-cached, +head+argmax)", a["decode_step"]["flops"],
+            a["decode_step"]["min_bytes_floor"], m["decode_step_s"]),
+        row("train step (fwd+bwd+AdamW)", a["train_step"]["flops"],
+            None, m["train_step_s"]),
+    ]
+
+    lines = [
+        "# Roofline: measured vs speed-of-light (flagship config)",
+        "",
+        f"Chip: `{m['device']}` — peaks used: **{peak_flops/1e12:.0f} TFLOP/s bf16**, "
+        f"**{peak_bw/1e9:.0f} GB/s HBM** (TPU v5e public specs). Batch {b}, "
+        f"{a['compute_dtype']} compute, image 224², ResNet50+dilation, 6+6, d=256, "
+        "vocab 30522.",
+        "",
+        "FLOPs are XLA's own cost model on the exact compiled programs "
+        "(`compiled.cost_analysis()`, XLA path). The decode step's byte floor is "
+        "analytic: decoder+head weights + self KV caches + cross K/V read once per "
+        "step; activations assumed VMEM-resident. Measured times use the bench.py "
+        "protocol (chained dispatches, host-fetch barrier, median of rounds) on the "
+        "tunneled chip — they include per-program dispatch cost, which on this rig "
+        "is part of the honest number.",
+        "",
+        "| path | measured | speed-of-light | % of SoL | bound by | GFLOP | HBM MB |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        mb = f"{r['hbm_mb']:.0f}" if r["hbm_mb"] else "—"
+        lines.append(
+            f"| {r['path']} | {r['measured_ms']:.2f} ms | {r['sol_ms']:.2f} ms | "
+            f"{100*r['sol_fraction']:.0f}% | {r['bound']} | {r['gflops']:.1f} | {mb} |"
+        )
+    lines += [
+        "",
+        f"Greedy end-to-end at batch {b}: encode {m['encode_s']*1e3:.1f} ms once + "
+        f"{m['decode_steps']} × {m['decode_step_s']*1e3:.2f} ms decode steps = "
+        f"{(m['encode_s']+m['decode_steps']*m['decode_step_s'])*1e3:.0f} ms "
+        f"→ {b/(m['greedy_full_s']):.0f} captions/s single-stream.",
+        "",
+        "## Where the remaining gaps are (and why they are structural here)",
+        "",
+        "**Decode step** (28% of a bandwidth roofline): the gap is NOT unclaimed",
+        "kernel work — every fusion lever at this model size has been measured",
+        "(docs/PERF.md): fused per-block Pallas kernels landed (0.94→0.44 ms/step),",
+        "merged-layer megakernel ≤ neutral, head+argmax kernel neutral, hierarchical",
+        "top-k neutral, beam head top-k+logsumexp neutral. What remains is the fixed",
+        "per-fusion/per-kernel cost (~10 µs each, ~15 XLA fusions per decoder layer on",
+        "the XLA path; 3 Pallas programs + glue on the fused path) multiplied by a",
+        "serial 6-layer × 127-step dependency chain, plus while-loop bookkeeping —",
+        "all independent of batch width. That is exactly why throughput scales with",
+        "batch until VMEM saturation (tools/exp_batch_scale.py: 32→128 = +58%",
+        "captions/s, 256 = +6% more, 320 flat): wider batches amortize the fixed",
+        "cost per caption. The structural fix at production scale is batching, which",
+        "the serving queue (predictor.py) and the batch-256 eval default already do.",
+        "",
+        "**Train step** (16% of a compute roofline) and **encode** (25%): both are",
+        "dominated by the d=256/14×14 model being small for the 128×128 MXU — conv",
+        "channel/spatial dims and attention heads (dh=32) underfill tiles, and the",
+        "backward pass doubles the count of small ops. These are model-shape limits,",
+        "not missing kernels: the same programs reach MXU saturation as d grows.",
+        "Training throughput still scales with batch (raw step: 292 samples/s at",
+        "batch 32 → 445 at batch 128, same chip) for users who want larger batches.",
+        "",
+        "Regenerate: `python tools/roofline.py --mode analytic && python",
+        "tools/roofline.py --mode measure && python tools/roofline.py --mode report`",
+        "(analytic runs on CPU; measure needs the chip and an idle host).",
+    ]
+    path = os.path.join(REPO, "docs", "ROOFLINE.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"rows": rows, "written": path}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["analytic", "measure", "report"], required=True)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--peak-flops", type=float, default=197e12)
+    ap.add_argument("--peak-bw", type=float, default=819e9)
+    args = ap.parse_args()
+    if args.mode == "analytic":
+        analytic(args.batch)
+    elif args.mode == "measure":
+        measure(args.batch, args.reps, args.rounds)
+    else:
+        report(args.peak_flops, args.peak_bw)
+
+
+if __name__ == "__main__":
+    main()
