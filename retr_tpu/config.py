@@ -99,6 +99,16 @@ class Config:
     sample_temperature: float = 1.0
     sample_top_k: int = 0
     sample_top_p: float = 1.0
+    # Learning-rate schedule: "step" = the reference's StepLR (lr x0.1 every
+    # lr_drop epochs, main.py:40 — the parity default) or "cosine" = cosine decay
+    # to 0 over epochs*steps_per_epoch. warmup_steps > 0 prepends a linear ramp
+    # 0 -> base lr over that many steps to either schedule (0 = reference behavior).
+    lr_schedule: str = "step"
+    warmup_steps: int = 0
+    # Write per-epoch checkpoints on a background thread (train.checkpoints.AsyncSaver)
+    # so serialization/disk IO overlaps the next epoch; main.py joins pending saves
+    # at exit. Off by default = the strictly serial reference-shaped loop.
+    async_checkpoints: bool = False
     # Gradient accumulation: micro-batches per optimizer update (train.state).
     # >1 shrinks the activation footprint by the factor; the update equals the
     # full-batch step (loss is a mean over rows). batch_size must be divisible.
@@ -137,6 +147,10 @@ class Config:
             raise ValueError("hidden_dim must be divisible by nheads")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported compute_dtype {self.compute_dtype!r}")
+        if self.lr_schedule not in ("step", "cosine"):
+            raise ValueError(f"unsupported lr_schedule {self.lr_schedule!r}")
+        if self.warmup_steps < 0:
+            raise ValueError("warmup_steps must be >= 0")
 
     # -- serialization (checkpoints embed the config instead of the reference's
     #    filename-substring sniffing, eval_model.py:49-82) --------------------------

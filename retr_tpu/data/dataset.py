@@ -19,7 +19,7 @@ import os
 import queue
 import threading
 from collections import OrderedDict
-from typing import Iterator, List, NamedTuple, Optional
+from typing import Iterator, List, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -182,6 +182,14 @@ class DataLoader:
 
     num_workers threads pull samples concurrently (JPEG decode + resize are C code
     that releases the GIL); prefetch_depth batches are staged ahead.
+
+    ``shard=(index, count)`` keeps every count-th sample starting at ``index`` —
+    the multi-host data-parallel split (one loader per host with
+    ``shard=(jax.process_index(), jax.process_count())``): shards are disjoint,
+    cover the dataset, and stay consistent across hosts because the shuffle
+    permutation is seeded identically (seed + epoch) everywhere before slicing.
+    Each host then feeds its ``batch_size`` rows to its local devices
+    (global batch = count * batch_size).
     """
 
     def __init__(
@@ -194,6 +202,7 @@ class DataLoader:
         seed: int = 0,
         num_workers: int = 4,
         prefetch_depth: int = 2,
+        shard: Optional[Tuple[int, int]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -203,9 +212,21 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch_depth = prefetch_depth
         self.epoch = 0
+        if shard is not None:
+            index, count = shard
+            if not (0 <= index < count):
+                raise ValueError(f"shard index {index} outside [0, {count})")
+        self.shard = shard
+
+    def _shard_size(self) -> int:
+        n = len(self.dataset)
+        if self.shard is None:
+            return n
+        index, count = self.shard
+        return len(range(index, n, count))
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_size()
         return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self) -> List[List[int]]:
@@ -213,6 +234,9 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
+        if self.shard is not None:
+            index, count = self.shard
+            idx = idx[index::count]
         batches = [
             idx[i : i + self.batch_size].tolist()
             for i in range(0, len(idx), self.batch_size)

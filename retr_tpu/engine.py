@@ -85,8 +85,13 @@ def _shard_batch_on(mesh, batch):
     instead: value-identical, just not split."""
     if mesh is None:
         return batch
-    from retr_tpu.parallel.mesh import batch_shard_tree, replicated
+    from retr_tpu.parallel.mesh import (batch_shard_tree, global_batch_from_local,
+                                        replicated)
 
+    if jax.process_count() > 1:
+        # multi-host dp: this process's rows become its slice of the global batch
+        # (loader sharded with shard=(process_index, process_count) in main.py).
+        return global_batch_from_local(mesh, batch)
     b = batch.images.shape[0]
     if b % mesh.shape["dp"]:
         return jax.device_put(batch, jax.tree.map(lambda _: replicated(mesh), batch))

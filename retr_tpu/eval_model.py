@@ -63,10 +63,20 @@ def main_val_set(args, config: Config):
     params, config = prepare_model(args, config)
     tokenizer, _, _ = prepare_tokenizer(config.vocab_file)
     loader = setup_val_dataloader(config, args.split, tokenizer)
-    metrics, ids_hyps = run_eval(
-        params, config, loader, tokenizer,
-        print_samples=args.print_samples, decoder=args.decoder,
-    )
+
+    def run():
+        return run_eval(
+            params, config, loader, tokenizer,
+            print_samples=args.print_samples, decoder=args.decoder,
+        )
+
+    if getattr(args, "profile_dir", ""):
+        from retr_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            metrics, ids_hyps = run()
+    else:
+        metrics, ids_hyps = run()
     return metrics, ids_hyps
 
 
@@ -81,6 +91,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="take model-variant config from the checkpoint")
     ap.add_argument("--decoder", default="greedy",
                 choices=["greedy", "beam", "sample"])
+    ap.add_argument("--profile_dir", default="",
+                    help="write a jax.profiler device trace of the eval here "
+                    "(view with TensorBoard/xprof)")
     return ap
 
 

@@ -62,9 +62,16 @@ def main(config: Config, resume: bool = False) -> None:
     dataset_cider = ds.build_dataset(config, "validation", tokenizer=tokenizer, return_unique=True)
     logger.log("datasets", train=len(dataset_train), val=len(dataset_val), cider=len(dataset_cider))
 
+    # multi-host: each process loads its own slice of the training data (global
+    # batch = process_count * batch_size; engine._shard_batch_on assembles the
+    # global array via mesh.global_batch_from_local). Eval loaders stay full per
+    # host — every host computes identical metrics, no cross-host gather needed.
+    proc_shard = None
+    if jax.process_count() > 1:
+        proc_shard = (jax.process_index(), jax.process_count())
     loader_train = ds.DataLoader(
         dataset_train, config.batch_size, shuffle=True, drop_last=True,
-        seed=config.seed, num_workers=config.num_workers,
+        seed=config.seed, num_workers=config.num_workers, shard=proc_shard,
     )
     loader_val = ds.DataLoader(dataset_val, config.batch_size, num_workers=config.num_workers)
     loader_cider = ds.DataLoader(dataset_cider, config.batch_size, num_workers=config.num_workers)
@@ -82,6 +89,8 @@ def main(config: Config, resume: bool = False) -> None:
             state, meta = ckpt.load_checkpoint(latest, state)
             start_epoch = meta["epoch"] + 1
             logger.log("resume", checkpoint=latest, epoch=start_epoch)
+
+    saver = ckpt.AsyncSaver() if config.async_checkpoints else None
 
     cider_scores = [0.0]
     for epoch in range(start_epoch, config.epochs):
@@ -105,16 +114,22 @@ def main(config: Config, resume: bool = False) -> None:
             val_loss=validation_loss, cider=cider_score, metrics=eval_results,
         )
 
-        ckpt.save_checkpoint(
-            config.checkpoint_path, state, config, epoch=epoch,
-            train_loss=epoch_loss, val_loss=validation_loss, cider_score=cider_score,
+        save_kwargs = dict(
+            epoch=epoch, train_loss=epoch_loss, val_loss=validation_loss,
+            cider_score=cider_score,
         )
+        if saver is not None:
+            saver.submit(config.checkpoint_path, state, config, **save_kwargs)
+        else:
+            ckpt.save_checkpoint(config.checkpoint_path, state, config, **save_kwargs)
 
         if config.early_stopping and cider_score < min(cider_scores[-5:]):
             logger.log("early_stop", epoch=epoch)  # main.py:96-99 semantics
             break
         cider_scores.append(cider_score)
 
+    if saver is not None:
+        saver.wait()
     logger.close()
 
 

@@ -46,6 +46,30 @@ def batch_shard_tree(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda x: batch_sharding(mesh, np.ndim(x)), tree)
 
 
+def global_batch_from_local(mesh: Mesh, tree: Any) -> Any:
+    """Assemble a dp-sharded GLOBAL batch from each process's local rows.
+
+    Multi-host data parallelism: every host loads its own slice of the dataset
+    (``DataLoader(..., shard=(jax.process_index(), jax.process_count()))``) and
+    passes its local batch here; the result is a global ``jax.Array`` whose
+    leading axis is the concatenation over hosts, dp-sharded with each row
+    resident on the devices of the host that loaded it — no cross-host data
+    movement. The global batch size is ``process_count * local_batch``.
+
+    Works single-process too (then it equals ``device_put(batch_shard_tree)`` —
+    tested in tests/test_sweep.py); leaves are fetched to host first, so on a
+    single host prefer the plain ``device_put`` path."""
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.make_array_from_process_local_data(
+            batch_sharding(mesh, np.ndim(x)), np.asarray(x)
+        )
+
+    return jax.tree.map(put, tree, is_leaf=lambda x: x is None)
+
+
 # -- tensor-parallel rules ----------------------------------------------------------
 
 

@@ -43,7 +43,12 @@ def main(args, config: Config):
     params, config = prepare_model(args, config)
     tokenizer, _, _ = prepare_tokenizer(config.vocab_file)
 
-    mesh = pmesh.make_mesh(dp=args.dp or len(jax.devices()), mp=1)
+    mp = max(1, args.mp)
+    mesh = pmesh.make_mesh(dp=args.dp or len(jax.devices()) // mp, mp=mp)
+    if mp > 1:
+        # tensor-parallel eval: shard heads/FFN/vocab-head over mp once here;
+        # eval_model_sharded keeps pre-sharded params (parallel/sweep.py:77-78).
+        params = pmesh.shard_params(params, mesh)
 
     batch = args.batch or config.batch_size
     loaders = {}
@@ -69,7 +74,11 @@ def build_argparser():
     ap.add_argument("--config", default="")
     ap.add_argument("--datasets", nargs="+", default=["refcoco:val"],
                     help="prefix:split[,split...] per entry")
-    ap.add_argument("--dp", type=int, default=0, help="dp mesh size (default: all devices)")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="dp mesh size (default: all devices / mp)")
+    ap.add_argument("--mp", type=int, default=1,
+                    help="tensor-parallel mesh size (shards attention heads, the "
+                    "FFN inner dim, and the vocab head — parallel/mesh.py specs)")
     ap.add_argument("--decoder", default="greedy",
                     choices=["greedy", "beam", "sample"])
     ap.add_argument("--batch", type=int, default=256,

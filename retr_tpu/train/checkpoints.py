@@ -68,6 +68,55 @@ def save_checkpoint(
     return path
 
 
+class AsyncSaver:
+    """Background checkpoint writer: :meth:`submit` snapshots the TrainState with an
+    on-device copy (cheap HBM-to-HBM; safe even though the jit train step DONATES the
+    live state buffers — the copy is a fresh buffer the donation can't alias) and
+    runs the Orbax save + metadata write on a worker thread, so the epoch loop never
+    blocks on device->host fetch, serialization, or disk IO. Orbax's own
+    write-to-tmp + atomic-rename makes partially-written checkpoints invisible to
+    ``latest_checkpoint``; the metadata file is written by the worker only after the
+    Orbax commit, so a checkpoint without metadata never becomes 'latest'.
+
+    Call :meth:`wait` before reading checkpoints back (resume) and at training exit —
+    it joins every pending save and re-raises the first worker failure. The reference
+    has no equivalent (torch.save inline on the epoch loop, main.py:89-94)."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._threads: list = []
+        self._errors: list = []
+        self._lock = threading.Lock()
+
+    def submit(self, directory: str, state: TrainState, cfg: Config, **meta: Any) -> None:
+        import threading
+
+        import jax
+
+        snapshot = jax.tree.map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x, state
+        )
+
+        def run():
+            try:
+                save_checkpoint(directory, snapshot, cfg, **meta)
+            except Exception as e:  # surfaced by wait()
+                with self._lock:
+                    self._errors.append(e)
+
+        t = threading.Thread(target=run, name="retr-ckpt-save", daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def wait(self) -> None:
+        for t in self._threads:
+            t.join()
+        self._threads.clear()
+        if self._errors:
+            raise self._errors[0]
+
+
 def read_metadata(path: str) -> Dict[str, Any]:
     with open(os.path.join(path, METADATA_FILE)) as f:
         return json.load(f)

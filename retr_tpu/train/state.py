@@ -92,9 +92,34 @@ def step_lr(base_lr: float, lr_drop_epochs: int, steps_per_epoch: int, gamma: fl
     return schedule
 
 
+def build_schedule(cfg: Config, base_lr: float, steps_per_epoch: int):
+    """Per-step LR schedule from the config knobs.
+
+    ``lr_schedule="step"`` is the reference's StepLR (the parity default);
+    ``"cosine"`` decays to 0 over ``epochs * steps_per_epoch``. ``warmup_steps > 0``
+    prepends a linear ramp 0 -> ``base_lr`` to either (the reference has no warmup —
+    main.py:40 — so 0 is the default)."""
+    if cfg.lr_schedule == "cosine":
+        total = max(cfg.epochs * max(steps_per_epoch, 1), cfg.warmup_steps + 1)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=base_lr,
+            warmup_steps=cfg.warmup_steps, decay_steps=total,
+        )
+    sched = step_lr(base_lr, cfg.lr_drop, steps_per_epoch)
+    if cfg.warmup_steps > 0:
+        warmup = cfg.warmup_steps
+
+        def warmed(count):
+            ramp = base_lr * (count + 1) / warmup
+            return jnp.where(count < warmup, ramp, sched(count))
+
+        return warmed
+    return sched
+
+
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
-    main_sched = step_lr(cfg.lr, cfg.lr_drop, steps_per_epoch)
-    backbone_sched = step_lr(cfg.lr_backbone, cfg.lr_drop, steps_per_epoch)
+    main_sched = build_schedule(cfg, cfg.lr, steps_per_epoch)
+    backbone_sched = build_schedule(cfg, cfg.lr_backbone, steps_per_epoch)
 
     def adamw(sched):
         return optax.adamw(

@@ -327,3 +327,36 @@ def test_real_vocab_tokenizer_parity():
     assert check_tokenizer_parity(path, n_fuzz=50) == 0
     metrics = run_end_to_end(path)
     assert "CIDEr" in metrics
+
+
+def test_loader_process_sharding(cfg):
+    """shard=(i, n) partitions the dataset disjointly and covers it — the
+    multi-host dp split (one loader per host, main.py)."""
+    tok, _, _ = prepare_tokenizer()
+    ds = ds_mod.build_dataset(cfg, "training", tokenizer=tok)
+    n = len(ds)
+
+    # dataset INDICES (ann_ids repeat across captions, so partition on indices)
+    # are split disjointly and cover the dataset
+    shards = []
+    for k in (0, 1):
+        loader = ds_mod.DataLoader(ds, 2, shard=(k, 2))
+        idx = [i for b in loader._index_batches() for i in b]
+        assert len(loader) == (len(idx) + 1) // 2
+        # iteration works on the shard and yields the sharded count
+        assert sum(hb.caps.shape[0] for hb in loader) == len(idx)
+        shards.append(idx)
+    assert sorted(shards[0] + shards[1]) == list(range(n))
+    assert not set(shards[0]) & set(shards[1])
+
+    # shuffled shards stay consistent across "hosts": identical (seed + epoch)
+    # permutation before slicing, so the union still covers every index
+    l0 = ds_mod.DataLoader(ds, 2, shuffle=True, seed=3, shard=(0, 2))
+    l1 = ds_mod.DataLoader(ds, 2, shuffle=True, seed=3, shard=(1, 2))
+    e0 = [i for b in l0._index_batches() for i in b]
+    e1 = [i for b in l1._index_batches() for i in b]
+    assert sorted(e0 + e1) == list(range(n))
+    assert not set(e0) & set(e1)
+
+    with pytest.raises(ValueError):
+        ds_mod.DataLoader(ds, 2, shard=(2, 2))

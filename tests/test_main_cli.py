@@ -23,6 +23,9 @@ def env(tmp_path_factory):
         max_position_embeddings=12, dropout=0.1, image_size=48, batch_size=2,
         num_workers=2, epochs=2, early_stopping=False,
         project_data_path=str(root / "data"),
+        # exercise the background checkpoint writer end-to-end: the resume and
+        # eval-CLI tests below then prove async-written checkpoints restore
+        async_checkpoints=True,
     )
     return cfg
 
@@ -70,6 +73,17 @@ def test_eval_cli_on_trained_checkpoint(env, tmp_path):
     # the embedded config points at the fixture paths, so eval runs end-to-end
     metrics, ids_hyps = em.main_val_set(args, cfg)
     assert "CIDEr" in metrics and len(ids_hyps) > 0
+
+    # --profile_dir wraps the same eval in a jax.profiler trace (same scores,
+    # trace files written)
+    prof = tmp_path / "trace"
+    args = em.build_argparser().parse_args(
+        ["--split", "val", "--checkpoint", latest, "--override_config",
+         "--profile_dir", str(prof)]
+    )
+    metrics2, _ = em.main_val_set(args, cfg)
+    assert metrics2["CIDEr"] == pytest.approx(metrics["CIDEr"])
+    assert any(p.is_file() for p in prof.rglob("*")), "no trace files written"
 
 
 def test_main_training_loop_multichip(tmp_path):

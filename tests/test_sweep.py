@@ -122,6 +122,19 @@ def test_sweep_cli_end_to_end(tmp_path):
 
     assert "refcoco/train" in _json.load(open(tmp_path / "sweep.json"))
 
+    # --mp 2: tensor-parallel eval through the CLI (params sharded via
+    # parallel.mesh.shard_params on a dp=2 x mp=2 mesh) scores identically
+    import pytest as _pytest
+
+    args2 = sweep_cli.build_argparser().parse_args(
+        ["--checkpoint", path, "--datasets", "refcoco:train", "--dp", "2",
+         "--mp", "2", "--override_config"]
+    )
+    results2 = sweep_cli.main(args2, cfg)
+    assert results2["refcoco/train"]["CIDEr"] == _pytest.approx(
+        results["refcoco/train"]["CIDEr"], abs=1e-6
+    )
+
 
 def test_greedy_under_tensor_parallel_mesh(tmp_path):
     """Greedy decode with mp-sharded params (vocab head + FFN + attention heads split
@@ -178,3 +191,16 @@ def test_evaluate_mesh_matches_single_device(tmp_path):
     p_mesh = jax.device_put(params, pmesh.replicated(mesh))
     got = engine.evaluate(p_mesh, cfg, loader, mesh=mesh)
     np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_global_batch_from_local_single_process():
+    """Single-process equivalence of the multi-host batch assembly: same values
+    and sharding as the plain device_put path (engine._shard_batch_on)."""
+    mesh = pmesh.make_mesh(dp=4, mp=1)
+    x = np.arange(4 * 3, dtype=np.float32).reshape(4, 3)
+    tree = {"a": x, "b": None}
+    g = pmesh.global_batch_from_local(mesh, tree)
+    assert g["b"] is None
+    ref = jax.device_put(jnp.asarray(x), pmesh.batch_sharding(mesh, 2))
+    np.testing.assert_array_equal(np.asarray(g["a"]), np.asarray(ref))
+    assert g["a"].sharding == ref.sharding

@@ -185,3 +185,74 @@ def test_grad_accumulation_matches_full_batch():
 
     with pytest.raises(ValueError, match="not divisible"):
         tstate.make_train_step(cfg, tx, donate=False, accum_steps=3)(s1, batch, key)
+
+
+def test_build_schedule_warmup_and_cosine():
+    # warmup + step: linear ramp 0 -> base over warmup_steps, then the StepLR values
+    cfg = tiny_cfg(warmup_steps=5, lr_drop=2)
+    s = tstate.build_schedule(cfg, 1e-4, steps_per_epoch=10)
+    assert float(s(0)) == pytest.approx(1e-4 / 5)
+    assert float(s(4)) == pytest.approx(1e-4)
+    assert float(s(10)) == pytest.approx(1e-4)      # epoch 1, pre-drop
+    assert float(s(20)) == pytest.approx(1e-5)      # epoch 2 -> one drop
+    # cosine: init 0, peak at warmup end, decays to 0 at epochs*steps_per_epoch
+    cfgc = tiny_cfg(lr_schedule="cosine", warmup_steps=10, epochs=3)
+    c = tstate.build_schedule(cfgc, 1e-4, steps_per_epoch=10)
+    assert float(c(0)) == pytest.approx(0.0, abs=1.1e-5)
+    assert float(c(10)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(c(20)) < 1e-4
+    assert float(c(30)) == pytest.approx(0.0, abs=1e-7)
+    # the reference default stays the bare StepLR
+    s0 = tstate.build_schedule(tiny_cfg(lr_drop=2), 1e-4, steps_per_epoch=10)
+    assert float(s0(0)) == pytest.approx(1e-4)
+
+
+def test_cosine_warmup_train_step_runs():
+    cfg = tiny_cfg(lr_schedule="cosine", warmup_steps=2)
+    tx, step = cached_step(cfg)
+    from retr_tpu.models import caption
+
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    state = tstate.TrainState(params, tx.init(params), jnp.int32(0))
+    batch = synth_batch(cfg)
+    for k in range(3):
+        state, loss = step(state, batch, jax.random.key(k))
+        assert np.isfinite(float(loss))
+
+
+def test_async_saver_roundtrip_and_snapshot_isolation(tmp_path):
+    from retr_tpu.models import caption
+    from retr_tpu.train import checkpoints as ckpt
+
+    cfg = tiny_cfg()
+    params, _ = caption.build_model(cfg, jax.random.key(1))
+    tx = tstate.make_optimizer(cfg, 10)
+    state = tstate.TrainState(params, tx.init(params), jnp.int32(7))
+    expect = jax.device_get(state.params)
+
+    saver = ckpt.AsyncSaver()
+    saver.submit(str(tmp_path / "ck"), state, cfg, epoch=3, cider_score=0.5)
+    # freeing the live buffers right after submit — what the donating train step
+    # does to them on the next dispatch — must not corrupt the snapshot being saved
+    for leaf in jax.tree.leaves((state.params, state.opt_state)):
+        leaf.delete()
+    saver.wait()
+
+    path = ckpt.latest_checkpoint(str(tmp_path / "ck"), cfg)
+    assert path is not None
+    meta = ckpt.read_metadata(path)
+    assert meta["epoch"] == 3 and meta["cider_score"] == pytest.approx(0.5)
+    assert meta["step"] == 7
+    params2, _ = caption.build_model(cfg, jax.random.key(2))
+    template = tstate.TrainState(params2, tx.init(params2), jnp.int32(0))
+    restored, _ = ckpt.load_checkpoint(path, template)
+    for a, b in zip(jax.tree.leaves(expect), jax.tree.leaves(jax.device_get(restored.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # worker failures surface on wait(), not silently
+    blocker = tmp_path / "plainfile"
+    blocker.write_text("x")
+    saver2 = ckpt.AsyncSaver()
+    saver2.submit(str(blocker / "sub"), restored, cfg, epoch=0)
+    with pytest.raises(OSError):
+        saver2.wait()
