@@ -168,6 +168,12 @@ def main():
                     "of the rate sweep; asserts a graceful close() drain under load")
     ap.add_argument("--soak-rate", type=float, default=400.0,
                     help="offered rate for --soak (default 400 req/s ≈ 3x capacity)")
+    ap.add_argument("--ab-max-batch", type=int, nargs="+", default=[],
+                    help="A/B max_batch values under one overload rate, rounds "
+                    "INTERLEAVED in one process (tunnel round-trip cost varies "
+                    ">2x across hours — docs/ROADMAP.md — so never compare "
+                    "serving numbers from separate runs)")
+    ap.add_argument("--ab-rounds", type=int, default=3)
     args = ap.parse_args()
 
     coco_dir, _ = make_fixture(args.fixture_dir, args.images)
@@ -204,6 +210,47 @@ def main():
                      use_pallas_decode=True, compute_dtype=args.dtype,
                      vocab_size=tok.vocab_size)
         params, _ = caption.build_model(cfg, jax.random.key(0))
+
+    if args.ab_max_batch:
+        # one queue per max_batch (each its own padded-shape compile), rounds
+        # interleaved so every variant sees the same tunnel weather
+        queues = {}
+        for mb in args.ab_max_batch:
+            p = Predictor(params, cfg, tok, max_batch=mb)
+            q = ServingQueue(p, max_wait_s=args.max_wait_s, decoder=args.decoder,
+                             pipeline_depth=args.pipeline_depth)
+            p.predict_batch([paths[0]] * 2, bboxes[:2], decoder=args.decoder)  # compile
+            queues[mb] = q
+        cells = []
+        for r in range(args.ab_rounds):
+            for mb, q in queues.items():
+                lat, wall = run_load(q, paths, bboxes, args.soak_rate,
+                                     args.requests, seed=r)
+                cells.append({"max_batch": mb, "round": r,
+                              "achieved_rps": round(args.requests / wall, 2),
+                              "p50_latency_s": round(float(np.percentile(lat, 50)), 4),
+                              "p99_latency_s": round(float(np.percentile(lat, 99)), 4)})
+                print(json.dumps(cells[-1]), flush=True)
+        for q in queues.values():
+            q.close()
+        summary = {
+            mb: {
+                "achieved_rps_median": float(np.median(
+                    [c["achieved_rps"] for c in cells if c["max_batch"] == mb])),
+                "p50_latency_s_median": float(np.median(
+                    [c["p50_latency_s"] for c in cells if c["max_batch"] == mb])),
+            }
+            for mb in args.ab_max_batch
+        }
+        print(json.dumps({
+            "metric": f"ServingQueue max_batch A/B {args.decoder} ({args.dtype}, "
+                      f"wait {args.max_wait_s * 1e3:.0f} ms, depth "
+                      f"{args.pipeline_depth}, overload {args.soak_rate} req/s)",
+            "requests_per_cell": args.requests,
+            "device": str(jax.devices()[0]),
+            "cells": cells, "summary": summary,
+        }))
+        return
 
     pred = Predictor(params, cfg, tok, max_batch=args.max_batch)
     queue = ServingQueue(pred, max_wait_s=args.max_wait_s, decoder=args.decoder,
