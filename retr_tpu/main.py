@@ -137,6 +137,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="", help="JSON config file (defaults otherwise)")
     ap.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host launch: jax.distributed.initialize() (TPU pods "
+                    "auto-detect coordinator/rank from the environment), then the "
+                    "same main() — per-host data sharding and global batch assembly "
+                    "are automatic once process_count > 1. See docs/MULTIHOST.md")
     args = ap.parse_args()
+    if args.distributed:
+        import jax as _jax
+
+        _jax.distributed.initialize()
     cfg = Config.from_json(open(args.config).read()) if args.config else Config()
     main(cfg, resume=args.resume)
