@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[128, 192, 256, 384])
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--decoder", default="greedy", choices=["greedy", "beam", "sample"],
+                    help="beam tiles the batch to B*beam_size rows (5x), so its "
+                    "row count — and the ff-block VMEM ceiling at 384 rows — is "
+                    "hit at batch ~76")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +56,15 @@ def main():
     kwargs = dict(max_len=MAX_LEN, bos_token=101, eos_token=cfg.vocab_size + 1,
                   compute_dtype=jnp.dtype(cfg.compute_dtype))
 
+    def run(samples):
+        if args.decoder == "greedy":
+            return decode.greedy(params, cfg, samples, **kwargs)
+        if args.decoder == "beam":
+            tokens, _ = decode.beam_search(params, cfg, samples,
+                                           beam_size=cfg.beam_size, **kwargs)
+            return tokens[:, 0]
+        return decode.sample(params, cfg, samples, jax.random.key(7), **kwargs)
+
     rng = np.random.default_rng(0)
     base = rng.normal(size=(max(args.batches), 3, IMAGE, IMAGE)).astype(np.float32)
 
@@ -60,7 +73,7 @@ def main():
     for b in args.batches:
         img = jnp.asarray(base[:b])
         samples = Masked(img, jnp.zeros((b, IMAGE, IMAGE), dtype=bool))
-        ids = decode.greedy(params, cfg, samples, **kwargs)
+        ids = run(samples)
         toks = np.asarray(ids)  # compile + warmup (host fetch = real barrier)
         if ref_tokens is None:
             ref_tokens = toks[:32]
@@ -71,8 +84,7 @@ def main():
         dts = []
         for _ in range(args.rounds):
             t0 = time.perf_counter()
-            outs = [decode.greedy(params, cfg, samples, **kwargs)
-                    for _ in range(args.reps)]
+            outs = [run(samples) for _ in range(args.reps)]
             for o in outs:
                 np.asarray(o)
             dts.append((time.perf_counter() - t0) / args.reps)
