@@ -51,9 +51,10 @@ def prepare_model(args, config: Config):
     return state.params, config
 
 
-def setup_val_dataloader(config: Config, split: str, tokenizer):
+def setup_val_dataloader(config: Config, split: str, tokenizer, batch_size: int = 0):
     dataset = ds.build_dataset(config, split, tokenizer=tokenizer, return_unique=True)
-    return ds.DataLoader(dataset, config.batch_size, num_workers=config.num_workers)
+    return ds.DataLoader(dataset, batch_size or config.batch_size,
+                         num_workers=config.num_workers)
 
 
 def main_val_set(args, config: Config):
@@ -62,7 +63,8 @@ def main_val_set(args, config: Config):
     apply_device_config(config)
     params, config = prepare_model(args, config)
     tokenizer, _, _ = prepare_tokenizer(config.vocab_file)
-    loader = setup_val_dataloader(config, args.split, tokenizer)
+    loader = setup_val_dataloader(config, args.split, tokenizer,
+                                  batch_size=getattr(args, "batch", 0))
 
     def run():
         return run_eval(
@@ -94,6 +96,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--profile_dir", default="",
                     help="write a jax.profiler device trace of the eval here "
                     "(view with TensorBoard/xprof)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="eval batch size override (0 = config.batch_size, the "
+                    "reference behavior; decode tokens are batch-size-invariant "
+                    "— tested — and batch 256 measured fastest, docs/PERF.md)")
     return ap
 
 

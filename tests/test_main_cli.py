@@ -85,6 +85,15 @@ def test_eval_cli_on_trained_checkpoint(env, tmp_path):
     assert metrics2["CIDEr"] == pytest.approx(metrics["CIDEr"])
     assert any(p.is_file() for p in prof.rglob("*")), "no trace files written"
 
+    # --batch override: a larger eval batch scores identically (tokens are
+    # batch-size-invariant; the ragged tail pads to the same device shapes here)
+    args = em.build_argparser().parse_args(
+        ["--split", "val", "--checkpoint", latest, "--override_config",
+         "--batch", "3"]
+    )
+    metrics3, _ = em.main_val_set(args, cfg)
+    assert metrics3["CIDEr"] == pytest.approx(metrics["CIDEr"])
+
 
 def test_main_training_loop_multichip(tmp_path):
     """Full main() epoch loop on a dp=2 x mp=2 mesh (4 of the 8 virtual devices):
