@@ -144,8 +144,6 @@ if __name__ == "__main__":
                     "are automatic once process_count > 1. See docs/MULTIHOST.md")
     args = ap.parse_args()
     if args.distributed:
-        import jax as _jax
-
-        _jax.distributed.initialize()
+        jax.distributed.initialize()
     cfg = Config.from_json(open(args.config).read()) if args.config else Config()
     main(cfg, resume=args.resume)
