@@ -68,4 +68,9 @@ json.dump(cur, open("docs/BENCH_SERVING.json", "w"), indent=2)
 print(json.dumps(cur["soak"]["summary"]))
 PYEOF
 
-echo "done — review git diff of BENCH_DETAILS.json / docs/*.json before committing."
+echo "== 6/6 roofline: measured vs speed-of-light (rewrites docs/ROOFLINE.md) =="
+JAX_PLATFORMS=cpu python tools/roofline.py --mode analytic
+python tools/roofline.py --mode measure
+python tools/roofline.py --mode report
+
+echo "done — review git diff of BENCH_DETAILS.json / docs/*.json / docs/ROOFLINE.md before committing."
