@@ -183,13 +183,17 @@ class DataLoader:
     num_workers threads pull samples concurrently (JPEG decode + resize are C code
     that releases the GIL); prefetch_depth batches are staged ahead.
 
-    ``shard=(index, count)`` keeps every count-th sample starting at ``index`` —
-    the multi-host data-parallel split (one loader per host with
+    ``shard=(index, count)`` keeps every count-th sample starting at ``index``,
+    TRIMMED to ``len(dataset) // count`` samples — the multi-host data-parallel
+    split (one loader per host with
     ``shard=(jax.process_index(), jax.process_count())``): shards are disjoint,
-    cover the dataset, and stay consistent across hosts because the shuffle
+    exactly equal-sized (every host compiles the same steps_per_epoch and runs
+    the same number of collective-bearing steps — the SPMD same-program
+    requirement), and stay consistent across hosts because the shuffle
     permutation is seeded identically (seed + epoch) everywhere before slicing.
-    Each host then feeds its ``batch_size`` rows to its local devices
-    (global batch = count * batch_size).
+    Up to ``count - 1`` samples are dropped per epoch (a different subset each
+    shuffled epoch). Each host then feeds its ``batch_size`` rows to its local
+    devices (global batch = count * batch_size).
     """
 
     def __init__(
@@ -222,8 +226,7 @@ class DataLoader:
         n = len(self.dataset)
         if self.shard is None:
             return n
-        index, count = self.shard
-        return len(range(index, n, count))
+        return n // self.shard[1]
 
     def __len__(self) -> int:
         n = self._shard_size()
@@ -236,7 +239,7 @@ class DataLoader:
             rng.shuffle(idx)
         if self.shard is not None:
             index, count = self.shard
-            idx = idx[index::count]
+            idx = idx[index::count][: len(idx) // count]  # equal size on every host
         batches = [
             idx[i : i + self.batch_size].tolist()
             for i in range(0, len(idx), self.batch_size)

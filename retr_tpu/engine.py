@@ -90,7 +90,16 @@ def _shard_batch_on(mesh, batch):
 
     if jax.process_count() > 1:
         # multi-host dp: this process's rows become its slice of the global batch
-        # (loader sharded with shard=(process_index, process_count) in main.py).
+        # (train loader sharded with shard=(process_index, process_count) in
+        # main.py; drop_last=True keeps train batches full). Unsharded eval
+        # loaders reach here too with IDENTICAL per-host batches — a ragged one
+        # whose duplicated-global row count doesn't split over dp falls back to
+        # replicated assembly (value-identical, matching the single-host fallback).
+        from retr_tpu.parallel.mesh import global_replicated_from_local
+
+        b = batch.images.shape[0]
+        if (b * jax.process_count()) % mesh.shape["dp"]:
+            return global_replicated_from_local(mesh, batch)
         return global_batch_from_local(mesh, batch)
     b = batch.images.shape[0]
     if b % mesh.shape["dp"]:

@@ -54,6 +54,18 @@ def main(config: Config, resume: bool = False) -> None:
         params = pmesh.shard_params(params, mesh)
         logger.log("mesh", dp=config.dp_size, mp=config.mp_size,
                    devices=len(jax.devices()))
+    if jax.process_count() > 1 and (
+        mesh is None or config.dp_size * config.mp_size != len(jax.devices())
+    ):
+        # Without a mesh spanning every global device, each process would train
+        # an independent model on its own data shard with no gradient sync and
+        # race on checkpoint_path — silently wrong. Fail loudly instead
+        # (docs/MULTIHOST.md).
+        raise ValueError(
+            "multi-host launch requires dp_size * mp_size == global device count "
+            f"(got {config.dp_size} x {config.mp_size} over {len(jax.devices())} "
+            "devices); set Config.dp_size/mp_size for the whole slice"
+        )
 
     tokenizer, _, _ = prepare_tokenizer(config.vocab_file)
 

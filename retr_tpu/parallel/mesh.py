@@ -70,6 +70,28 @@ def global_batch_from_local(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(put, tree, is_leaf=lambda x: x is None)
 
 
+def global_replicated_from_local(mesh: Mesh, tree: Any) -> Any:
+    """Assemble a fully-REPLICATED global batch when every process holds an
+    identical copy (the unsharded eval loaders in multi-host ``main()``): for a
+    replicated sharding, ``make_array_from_process_local_data`` takes the full
+    value from each process. Used by ``engine._shard_batch_on`` as the multi-host
+    ragged-batch fallback — value-identical to dp-sharding, just not split.
+
+    Both assembly helpers stage the local batch through host memory
+    (``np.asarray``) before the upload — one extra hop when the input already
+    lives on device (``data.pipeline.device_batch``); building the global array
+    from the existing per-device buffers (``make_array_from_single_device_arrays``)
+    would avoid it and is the known optimization if the multi-host upload ever
+    shows up in a profile."""
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.make_array_from_process_local_data(replicated(mesh), np.asarray(x))
+
+    return jax.tree.map(put, tree, is_leaf=lambda x: x is None)
+
+
 # -- tensor-parallel rules ----------------------------------------------------------
 
 

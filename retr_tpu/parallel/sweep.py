@@ -39,6 +39,14 @@ def pad_host_batch(host: HostBatch, to_size: int) -> HostBatch:
 
 
 def shard_batch(batch, mesh):
+    if jax.process_count() > 1:
+        # every process holds an identical (unsharded-loader) batch already padded
+        # dp-divisible; each contributes it as its local slice of the global batch
+        # (rows duplicated across hosts — hypotheses are read back from the first
+        # copy after the pre-fetch all-gather below)
+        from retr_tpu.parallel.mesh import global_batch_from_local
+
+        return global_batch_from_local(mesh, batch)
     return jax.tree.map(
         lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))) if x is not None else None,
         batch,
@@ -119,6 +127,11 @@ def eval_model_sharded(
             )
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
+        if jax.process_count() > 1:
+            # a dp-sharded global array spans non-addressable devices, so a host
+            # fetch is illegal; a jitted identity with replicated out_shardings
+            # inserts the all-gather and makes it locally fetchable everywhere
+            ids = jax.jit(lambda x: x, out_shardings=replicated(mesh))(ids)
         pruned = decode_mod.prune_token_ids(
             np.asarray(ids)[:true_b].tolist(), clean=True,
             pad_token=pad_id, bos_token=bos_id, eos_token=eos_id,

@@ -94,6 +94,15 @@ class AsyncSaver:
 
         import jax
 
+        # bound in-flight snapshots to ONE: join the previous save first, so slow
+        # checkpoint storage can never pile up HBM-resident state copies (each is
+        # params + optimizer moments, ~3x model size). The save still overlaps the
+        # whole epoch between submissions. Worker failures keep surfacing on
+        # wait(), not here.
+        for t in self._threads:
+            t.join()
+        self._threads.clear()
+
         snapshot = jax.tree.map(
             lambda x: x.copy() if isinstance(x, jax.Array) else x, state
         )

@@ -360,3 +360,17 @@ def test_loader_process_sharding(cfg):
 
     with pytest.raises(ValueError):
         ds_mod.DataLoader(ds, 2, shard=(2, 2))
+
+    # uneven n: shards are trimmed to EQUAL size (n // count) so every host
+    # compiles the same steps_per_epoch and runs the same number of collective
+    # steps (SPMD same-program requirement) — up to count-1 samples drop per epoch
+    class FakeLen:
+        def __len__(self):
+            return 5
+
+    u0 = ds_mod.DataLoader(FakeLen(), 2, shard=(0, 2))
+    u1 = ds_mod.DataLoader(FakeLen(), 2, shard=(1, 2))
+    i0 = [i for b in u0._index_batches() for i in b]
+    i1 = [i for b in u1._index_batches() for i in b]
+    assert len(i0) == len(i1) == 2 and len(u0) == len(u1)
+    assert not set(i0) & set(i1)

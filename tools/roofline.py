@@ -262,6 +262,7 @@ def report(peak_flops: float, peak_bw: float):
             f"| {r['path']} | {r['measured_ms']:.2f} ms | {r['sol_ms']:.2f} ms | "
             f"{100*r['sol_fraction']:.0f}% | {r['bound']} | {r['gflops']:.1f} | {mb} |"
         )
+    pct = {r["path"].split(" ")[0]: f"{100 * r['sol_fraction']:.0f}%" for r in rows}
     lines += [
         "",
         f"Greedy end-to-end at batch {b}: encode {m['encode_s']*1e3:.1f} ms once + "
@@ -271,27 +272,27 @@ def report(peak_flops: float, peak_bw: float):
         "",
         "## Where the remaining gaps are (and why they are structural here)",
         "",
-        "**Decode step** (28% of a bandwidth roofline): the gap is NOT unclaimed",
-        "kernel work — every fusion lever at this model size has been measured",
-        "(docs/PERF.md): fused per-block Pallas kernels landed (0.94→0.44 ms/step),",
-        "merged-layer megakernel ≤ neutral, head+argmax kernel neutral, hierarchical",
-        "top-k neutral, beam head top-k+logsumexp neutral. What remains is the fixed",
-        "per-fusion/per-kernel cost (~10 µs each, ~15 XLA fusions per decoder layer on",
-        "the XLA path; 3 Pallas programs + glue on the fused path) multiplied by a",
-        "serial 6-layer × 127-step dependency chain, plus while-loop bookkeeping —",
-        "all independent of batch width. That is exactly why throughput scales with",
-        "batch until VMEM saturation (tools/exp_batch_scale.py: 32→128 = +58%",
-        "captions/s, 256 = +6% more, 320 flat): wider batches amortize the fixed",
-        "cost per caption. The structural fix at production scale is batching, which",
-        "the serving queue (predictor.py) and the batch-256 eval default already do.",
+        f"**Decode step** ({pct['decode']} of a bandwidth roofline): the gap is NOT",
+        "unclaimed kernel work — every fusion lever at this model size has been",
+        "measured (docs/PERF.md): fused per-block Pallas kernels landed, merged-layer",
+        "megakernel ≤ neutral, head+argmax kernel neutral, hierarchical top-k neutral,",
+        "beam head top-k+logsumexp neutral. What remains is the fixed per-fusion/",
+        "per-kernel cost (~10 µs each, ~15 XLA fusions per decoder layer on the XLA",
+        "path; 3 Pallas programs + glue on the fused path) multiplied by a serial",
+        "6-layer × 127-step dependency chain, plus while-loop bookkeeping — all",
+        "independent of batch width. That is exactly why throughput scales with batch",
+        "until VMEM saturation (measured curve: tools/exp_batch_scale.py; batch-256",
+        "claim: docs/PERF.md): wider batches amortize the fixed cost per caption. The",
+        "structural fix at production scale is batching, which the serving queue",
+        "(predictor.py) and the batch-256 eval default already do.",
         "",
-        "**Train step** (16% of a compute roofline) and **encode** (25%): both are",
-        "dominated by the d=256/14×14 model being small for the 128×128 MXU — conv",
-        "channel/spatial dims and attention heads (dh=32) underfill tiles, and the",
-        "backward pass doubles the count of small ops. These are model-shape limits,",
-        "not missing kernels: the same programs reach MXU saturation as d grows.",
-        "Training throughput still scales with batch (raw step: 292 samples/s at",
-        "batch 32 → 445 at batch 128, same chip) for users who want larger batches.",
+        f"**Train step** ({pct['train']} of a compute roofline) and **encode**",
+        f"({pct['encode']}): both are dominated by the d=256/14×14 model being small",
+        "for the 128×128 MXU — conv channel/spatial dims and attention heads (dh=32)",
+        "underfill tiles, and the backward pass doubles the count of small ops. These",
+        "are model-shape limits, not missing kernels: the same programs reach MXU",
+        "saturation as d grows. Training throughput still scales with batch",
+        "(BENCH_DETAILS.json raw-step rows) for users who want larger batches.",
         "",
         "Regenerate: `python tools/roofline.py --mode analytic && python",
         "tools/roofline.py --mode measure && python tools/roofline.py --mode report`",
