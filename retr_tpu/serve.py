@@ -122,13 +122,24 @@ def main():
                          image_root=args.allow_local_paths)
     print(f"serving on http://{args.host}:{args.port} (decoder={args.decoder}, "
           f"max_batch={args.max_batch})")
+
+    # SIGTERM (orchestrators' stop signal) takes the same graceful path as ^C:
+    # stop accepting, then drain the standing queue so accepted requests finish
+    # (ServingQueue.close(wait=True) — drain asserted under overload in the soak
+    # artifact, docs/BENCH_SERVING.json).
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         server.shutdown()
-        queue.close()
+        queue.close(wait=True)
 
 
 if __name__ == "__main__":
