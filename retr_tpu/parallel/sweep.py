@@ -155,14 +155,22 @@ def full_eval_sweep(
     *,
     datasets: Dict[str, DataLoader],
     decoder: str = "greedy",
-) -> Dict[str, Dict[str, float]]:
+    return_hypotheses: bool = False,
+):
     """Evaluate every (dataset/split) loader in ``datasets`` on the mesh.
 
     ``datasets`` maps a label (e.g. 'refcoco/val', 'refcoco+/testA') to its loader;
-    build them with data.dataset.build_dataset per prefix/split.
-    """
-    return {
-        label: eval_model_sharded(params, base_cfg, loader, tokenizer, mesh,
-                                  decoder=decoder)
-        for label, loader in datasets.items()
-    }
+    build them with data.dataset.build_dataset per prefix/split. Returns
+    ``{label: metrics}``, or ``({label: metrics}, {label: hypotheses})`` with
+    ``return_hypotheses=True`` (the sweep CLI's --store-generations)."""
+    metrics: Dict[str, Dict[str, float]] = {}
+    hyps: Dict[str, list] = {}
+    for label, loader in datasets.items():
+        out = eval_model_sharded(params, base_cfg, loader, tokenizer, mesh,
+                                 decoder=decoder,
+                                 return_hypotheses=return_hypotheses)
+        if return_hypotheses:
+            metrics[label], hyps[label] = out
+        else:
+            metrics[label] = out
+    return (metrics, hyps) if return_hypotheses else metrics

@@ -59,12 +59,17 @@ def main(args, config: Config):
             dataset, batch, num_workers=config.num_workers
         )
 
-    results = full_eval_sweep(params, config, tokenizer, mesh, datasets=loaders,
-                              decoder=args.decoder)
+    store = getattr(args, "store_generations", "")
+    out = full_eval_sweep(params, config, tokenizer, mesh, datasets=loaders,
+                          decoder=args.decoder, return_hypotheses=bool(store))
+    results, hyps = out if store else (out, None)
     print(json.dumps(results, indent=2))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
+    if store:
+        with open(store, "w") as f:
+            json.dump(hyps, f, indent=2)
     return results
 
 
@@ -87,6 +92,10 @@ def build_argparser():
                     "more captions/s than 32, BENCH_DETAILS.json; pass 0 to use "
                     "config.batch_size)")
     ap.add_argument("--out", default="", help="write results JSON here")
+    ap.add_argument("--store-generations", default="", metavar="PATH",
+                    help="also write the generated expressions per dataset/split "
+                    "as JSON (the sweep-wide analogue of eval_model "
+                    "--store_results)")
     ap.add_argument("--override_config", action="store_true")
     return ap
 

@@ -135,6 +135,21 @@ def test_sweep_cli_end_to_end(tmp_path):
         results["refcoco/train"]["CIDEr"], abs=1e-6
     )
 
+    # --store-generations: hypotheses persisted per dataset/split
+    gen_path = tmp_path / "gens.json"
+    args3 = sweep_cli.build_argparser().parse_args(
+        ["--checkpoint", path, "--datasets", "refcoco:train", "--dp", "4",
+         "--store-generations", str(gen_path), "--override_config"]
+    )
+    results3 = sweep_cli.main(args3, cfg)
+    assert results3["refcoco/train"]["CIDEr"] == _pytest.approx(
+        results["refcoco/train"]["CIDEr"]
+    )
+    gens = _json.load(open(gen_path))
+    assert gens.keys() == {"refcoco/train"}
+    assert len(gens["refcoco/train"]) > 0
+    assert all(isinstance(h, str) for h in gens["refcoco/train"])
+
 
 def test_greedy_under_tensor_parallel_mesh(tmp_path):
     """Greedy decode with mp-sharded params (vocab head + FFN + attention heads split
