@@ -199,6 +199,14 @@ def train_one_epoch(
     """
     from collections import deque
 
+    # pin the loader's shuffle epoch to THIS epoch number: the permutation is a
+    # pure function of (seed, epoch), so a --resume'd run sees the same data
+    # order in epoch e as the uninterrupted run would have (the loader's own
+    # counter restarts at 0 in a fresh process and would otherwise diverge).
+    # Benches/tests may pass a plain list of host batches instead of a DataLoader.
+    if isinstance(loader, DataLoader):
+        loader.epoch = epoch
+
     epoch_loss, n = 0.0, 0
     epoch_key = jax.random.fold_in(key, epoch)
     step0 = int(state.step)  # host-side step mirror: int(state.step) per step would block

@@ -374,3 +374,20 @@ def test_loader_process_sharding(cfg):
     i1 = [i for b in u1._index_batches() for i in b]
     assert len(i0) == len(i1) == 2 and len(u0) == len(u1)
     assert not set(i0) & set(i1)
+
+
+def test_loader_epoch_pin_reproduces_order(cfg):
+    """train_one_epoch pins loader.epoch = epoch, so a resumed process (fresh
+    loader, counter back at 0) replays epoch e's exact shuffle permutation —
+    the permutation must be a pure function of (seed, epoch)."""
+    tok, _, _ = prepare_tokenizer()
+    ds = ds_mod.build_dataset(cfg, "training", tokenizer=tok)
+
+    a = ds_mod.DataLoader(ds, 2, shuffle=True, seed=5)
+    a.epoch = 3
+    order_a = a._index_batches()
+    b = ds_mod.DataLoader(ds, 2, shuffle=True, seed=5)  # "resumed" fresh loader
+    b.epoch = 3
+    assert b._index_batches() == order_a
+    b.epoch = 4
+    assert b._index_batches() != order_a  # and epochs still differ from each other
