@@ -103,8 +103,9 @@ def build_argparser() -> argparse.ArgumentParser:
     return ap
 
 
-if __name__ == "__main__":
-    args = build_argparser().parse_args()
+def cli(argv=None) -> None:
+    """Console entry point (`retr-eval` / `python -m retr_tpu.eval_model`)."""
+    args = build_argparser().parse_args(argv)
     config = Config.from_json(open(args.config).read()) if args.config else Config()
     metrics, ids_hypotheses = main_val_set(args, config)
     print(metrics)
@@ -117,3 +118,7 @@ if __name__ == "__main__":
             json.dump(ids_hypotheses, f)
         with open(os.path.join(outdir, f"{base}_{args.split}_metrics.json"), "w") as f:
             json.dump(metrics, f)
+
+
+if __name__ == "__main__":
+    cli()

@@ -152,7 +152,8 @@ def main(config: Config, resume: bool = False, init_pth: str = "") -> None:
     logger.close()
 
 
-if __name__ == "__main__":
+def cli(argv=None) -> None:
+    """Console entry point (`retr-train` / `python -m retr_tpu.main`)."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="", help="JSON config file (defaults otherwise)")
     ap.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
@@ -164,8 +165,12 @@ if __name__ == "__main__":
                     "auto-detect coordinator/rank from the environment), then the "
                     "same main() — per-host data sharding and global batch assembly "
                     "are automatic once process_count > 1. See docs/MULTIHOST.md")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     if args.distributed:
         jax.distributed.initialize()
     cfg = Config.from_json(open(args.config).read()) if args.config else Config()
     main(cfg, resume=args.resume, init_pth=args.init_pth)
+
+
+if __name__ == "__main__":
+    cli()

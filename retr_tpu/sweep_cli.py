@@ -100,7 +100,12 @@ def build_argparser():
     return ap
 
 
-if __name__ == "__main__":
-    a = build_argparser().parse_args()
+def cli(argv=None):
+    """Console entry point (`retr-sweep` / `python -m retr_tpu.sweep_cli`)."""
+    a = build_argparser().parse_args(argv)
     cfg = Config.from_json(open(a.config).read()) if a.config else Config()
-    main(a, cfg)
+    return main(a, cfg)
+
+
+if __name__ == "__main__":
+    cli()
