@@ -228,10 +228,19 @@ def train_one_epoch(
         if logger is not None:
             logger.log("train_step", step=i, loss=loss_value, epoch=epoch)
 
+    # Augmentation key: per-host under multi-host dp (each host augments its OWN
+    # data rows — the same key on every host would correlate the flips/jitter
+    # positionally across the global batch). The STEP key below stays epoch_key
+    # on every host: it feeds the single global SPMD program, which requires
+    # identical inputs on all processes.
+    aug_key = epoch_key
+    if jax.process_count() > 1:
+        aug_key = jax.random.fold_in(epoch_key, jax.process_index())
+
     def make_batch(i, host_batch):
-        # PRNG key is a pure function of (epoch_key, batch index), so building the
+        # PRNG key is a pure function of (aug_key, batch index), so building the
         # batch on the staging thread is bit-identical to building it inline.
-        b = device_batch(host_batch, train=True, key=jax.random.fold_in(epoch_key, i))
+        b = device_batch(host_batch, train=True, key=jax.random.fold_in(aug_key, i))
         return _shard_batch_on(mesh, b)
 
     if stage_uploads:

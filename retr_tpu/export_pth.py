@@ -49,5 +49,12 @@ def main() -> str:
     return out
 
 
-if __name__ == "__main__":
+def cli() -> None:
+    """Console entry point: main() returns the .pth path for programmatic use,
+    but the pip script wrapper calls ``sys.exit(cli())`` — returning that string
+    would print it to stderr and exit 1."""
     main()
+
+
+if __name__ == "__main__":
+    cli()

@@ -61,18 +61,28 @@ def main(config: Config, resume: bool = False, init_pth: str = "") -> None:
         params = pmesh.shard_params(params, mesh)
         logger.log("mesh", dp=config.dp_size, mp=config.mp_size,
                    devices=len(jax.devices()))
-    if jax.process_count() > 1 and (
-        mesh is None or config.dp_size * config.mp_size != len(jax.devices())
-    ):
+    if jax.process_count() > 1:
         # Without a mesh spanning every global device, each process would train
         # an independent model on its own data shard with no gradient sync and
         # race on checkpoint_path — silently wrong. Fail loudly instead
         # (docs/MULTIHOST.md).
-        raise ValueError(
-            "multi-host launch requires dp_size * mp_size == global device count "
-            f"(got {config.dp_size} x {config.mp_size} over {len(jax.devices())} "
-            "devices); set Config.dp_size/mp_size for the whole slice"
-        )
+        if mesh is None or config.dp_size * config.mp_size != len(jax.devices()):
+            raise ValueError(
+                "multi-host launch requires dp_size * mp_size == global device "
+                f"count (got {config.dp_size} x {config.mp_size} over "
+                f"{len(jax.devices())} devices); set Config.dp_size/mp_size for "
+                "the whole slice"
+            )
+        # Sharded (host-specific) train batches must dp-split evenly: the ragged
+        # fallback replicates, which is only value-correct for IDENTICAL per-host
+        # data (eval loaders) — replicating host-specific rows would silently
+        # skip the gradient all-reduce.
+        if (config.batch_size * jax.process_count()) % config.dp_size:
+            raise ValueError(
+                f"batch_size * process_count ({config.batch_size} * "
+                f"{jax.process_count()}) must divide over dp_size "
+                f"({config.dp_size}) for multi-host training"
+            )
 
     tokenizer, _, _ = prepare_tokenizer(config.vocab_file)
 
@@ -112,43 +122,48 @@ def main(config: Config, resume: bool = False, init_pth: str = "") -> None:
     saver = ckpt.AsyncSaver() if config.async_checkpoints else None
 
     cider_scores = [0.0]
-    for epoch in range(start_epoch, config.epochs):
-        logger.log("epoch_start", epoch=epoch)
-        state, epoch_loss = train_one_epoch(
-            state, train_step, loader_train, key, epoch=epoch, logger=logger, mesh=mesh
-        )
-        validation_loss = evaluate(state.params, config, loader_val, eval_step=eval_step,
-                                   mesh=mesh)
-        if mesh is not None:
-            from retr_tpu.parallel.sweep import eval_model_sharded
-
-            eval_results = eval_model_sharded(
-                state.params, config, loader_cider, tokenizer, mesh
+    try:
+        for epoch in range(start_epoch, config.epochs):
+            logger.log("epoch_start", epoch=epoch)
+            state, epoch_loss = train_one_epoch(
+                state, train_step, loader_train, key, epoch=epoch, logger=logger,
+                mesh=mesh,
             )
-        else:
-            eval_results, _ = eval_model(state.params, config, loader_cider, tokenizer)
-        cider_score = eval_results["CIDEr"]
-        logger.log(
-            "epoch_end", epoch=epoch, train_loss=epoch_loss,
-            val_loss=validation_loss, cider=cider_score, metrics=eval_results,
-        )
+            validation_loss = evaluate(state.params, config, loader_val,
+                                       eval_step=eval_step, mesh=mesh)
+            if mesh is not None:
+                from retr_tpu.parallel.sweep import eval_model_sharded
 
-        save_kwargs = dict(
-            epoch=epoch, train_loss=epoch_loss, val_loss=validation_loss,
-            cider_score=cider_score,
-        )
+                eval_results = eval_model_sharded(
+                    state.params, config, loader_cider, tokenizer, mesh
+                )
+            else:
+                eval_results, _ = eval_model(state.params, config, loader_cider, tokenizer)
+            cider_score = eval_results["CIDEr"]
+            logger.log(
+                "epoch_end", epoch=epoch, train_loss=epoch_loss,
+                val_loss=validation_loss, cider=cider_score, metrics=eval_results,
+            )
+
+            save_kwargs = dict(
+                epoch=epoch, train_loss=epoch_loss, val_loss=validation_loss,
+                cider_score=cider_score,
+            )
+            if saver is not None:
+                saver.submit(config.checkpoint_path, state, config, **save_kwargs)
+            else:
+                ckpt.save_checkpoint(config.checkpoint_path, state, config, **save_kwargs)
+
+            if config.early_stopping and cider_score < min(cider_scores[-5:]):
+                logger.log("early_stop", epoch=epoch)  # main.py:96-99 semantics
+                break
+            cider_scores.append(cider_score)
+    finally:
+        # join the in-flight save even when training raises (NaN stop, ^C): the
+        # submitted PRE-crash epoch must persist durably, matching the sync
+        # path's guarantee. If both raise, Python chains the exceptions.
         if saver is not None:
-            saver.submit(config.checkpoint_path, state, config, **save_kwargs)
-        else:
-            ckpt.save_checkpoint(config.checkpoint_path, state, config, **save_kwargs)
-
-        if config.early_stopping and cider_score < min(cider_scores[-5:]):
-            logger.log("early_stop", epoch=epoch)  # main.py:96-99 semantics
-            break
-        cider_scores.append(cider_score)
-
-    if saver is not None:
-        saver.wait()
+            saver.wait()
     logger.close()
 
 

@@ -46,6 +46,26 @@ def batch_shard_tree(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda x: batch_sharding(mesh, np.ndim(x)), tree)
 
 
+def _assemble_from_local(mesh: Mesh, tree: Any, sharding_for) -> Any:
+    """Shared core of the multi-host batch assemblers: every leaf's process-local
+    value becomes its contribution to a global array under ``sharding_for(x)``
+    via ``jax.make_array_from_process_local_data``.
+
+    Leaves are staged through host memory (``np.asarray``) before the upload —
+    one extra hop when the input already lives on device
+    (``data.pipeline.device_batch``); building the global array from the
+    existing per-device buffers (``make_array_from_single_device_arrays``) would
+    avoid it and is the known optimization if the multi-host upload ever shows
+    up in a profile."""
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.make_array_from_process_local_data(sharding_for(x), np.asarray(x))
+
+    return jax.tree.map(put, tree, is_leaf=lambda x: x is None)
+
+
 def global_batch_from_local(mesh: Mesh, tree: Any) -> Any:
     """Assemble a dp-sharded GLOBAL batch from each process's local rows.
 
@@ -57,17 +77,9 @@ def global_batch_from_local(mesh: Mesh, tree: Any) -> Any:
     movement. The global batch size is ``process_count * local_batch``.
 
     Works single-process too (then it equals ``device_put(batch_shard_tree)`` —
-    tested in tests/test_sweep.py); leaves are fetched to host first, so on a
-    single host prefer the plain ``device_put`` path."""
-
-    def put(x):
-        if x is None:
-            return None
-        return jax.make_array_from_process_local_data(
-            batch_sharding(mesh, np.ndim(x)), np.asarray(x)
-        )
-
-    return jax.tree.map(put, tree, is_leaf=lambda x: x is None)
+    tested in tests/test_sweep.py); on a single host prefer the plain
+    ``device_put`` path (see ``_assemble_from_local`` on the host staging hop)."""
+    return _assemble_from_local(mesh, tree, lambda x: batch_sharding(mesh, np.ndim(x)))
 
 
 def global_replicated_from_local(mesh: Mesh, tree: Any) -> Any:
@@ -76,20 +88,10 @@ def global_replicated_from_local(mesh: Mesh, tree: Any) -> Any:
     replicated sharding, ``make_array_from_process_local_data`` takes the full
     value from each process. Used by ``engine._shard_batch_on`` as the multi-host
     ragged-batch fallback — value-identical to dp-sharding, just not split.
-
-    Both assembly helpers stage the local batch through host memory
-    (``np.asarray``) before the upload — one extra hop when the input already
-    lives on device (``data.pipeline.device_batch``); building the global array
-    from the existing per-device buffers (``make_array_from_single_device_arrays``)
-    would avoid it and is the known optimization if the multi-host upload ever
-    shows up in a profile."""
-
-    def put(x):
-        if x is None:
-            return None
-        return jax.make_array_from_process_local_data(replicated(mesh), np.asarray(x))
-
-    return jax.tree.map(put, tree, is_leaf=lambda x: x is None)
+    ONLY valid for identical per-host data: replicating host-specific rows would
+    skip the gradient all-reduce entirely (main.py's launch guard keeps sharded
+    TRAIN batches off this path by requiring divisibility)."""
+    return _assemble_from_local(mesh, tree, lambda x: replicated(mesh))
 
 
 # -- tensor-parallel rules ----------------------------------------------------------

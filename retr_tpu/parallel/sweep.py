@@ -96,6 +96,13 @@ def eval_model_sharded(
     dp = mesh.shape["dp"]
     full = ((loader.batch_size + dp - 1) // dp) * dp
 
+    # multi-host: built ONCE (a fresh jit per batch would retrace the all-gather
+    # every iteration); shapes are constant across the loop
+    gather_replicated = (
+        jax.jit(lambda x: x, out_shardings=replicated(mesh))
+        if jax.process_count() > 1 else None
+    )
+
     hypotheses, references = [], []
     for batch_i, host in enumerate(loader):
         true_b = host.target_images.shape[0]
@@ -127,11 +134,11 @@ def eval_model_sharded(
             )
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
-        if jax.process_count() > 1:
+        if gather_replicated is not None:
             # a dp-sharded global array spans non-addressable devices, so a host
-            # fetch is illegal; a jitted identity with replicated out_shardings
+            # fetch is illegal; the jitted identity with replicated out_shardings
             # inserts the all-gather and makes it locally fetchable everywhere
-            ids = jax.jit(lambda x: x, out_shardings=replicated(mesh))(ids)
+            ids = gather_replicated(ids)
         pruned = decode_mod.prune_token_ids(
             np.asarray(ids)[:true_b].tolist(), clean=True,
             pad_token=pad_id, bos_token=bos_id, eos_token=eos_id,

@@ -40,11 +40,20 @@ def parse_datasets(specs):
 
 
 def main(args, config: Config):
+    mp = max(1, args.mp)
+    n_dev = len(jax.devices())
+    if mp > n_dev or n_dev % mp:
+        # validate BEFORE the (slow) checkpoint load; dp=0 would otherwise
+        # surface later as a ZeroDivisionError in the batch padding
+        raise ValueError(
+            f"--mp {mp} must divide the device count ({n_dev}); otherwise dp "
+            "would be 0 or devices silently dropped from the mesh"
+        )
+
     params, config = prepare_model(args, config)
     tokenizer, _, _ = prepare_tokenizer(config.vocab_file)
 
-    mp = max(1, args.mp)
-    mesh = pmesh.make_mesh(dp=args.dp or len(jax.devices()) // mp, mp=mp)
+    mesh = pmesh.make_mesh(dp=args.dp or n_dev // mp, mp=mp)
     if mp > 1:
         # tensor-parallel eval: shard heads/FFN/vocab-head over mp once here;
         # eval_model_sharded keeps pre-sharded params (parallel/sweep.py:77-78).
@@ -100,11 +109,14 @@ def build_argparser():
     return ap
 
 
-def cli(argv=None):
-    """Console entry point (`retr-sweep` / `python -m retr_tpu.sweep_cli`)."""
+def cli(argv=None) -> None:
+    """Console entry point (`retr-sweep` / `python -m retr_tpu.sweep_cli`).
+
+    Returns None: the pip script wrapper calls ``sys.exit(cli())``, and a
+    non-None return (e.g. the results dict) would print to stderr and exit 1."""
     a = build_argparser().parse_args(argv)
     cfg = Config.from_json(open(a.config).read()) if a.config else Config()
-    return main(a, cfg)
+    main(a, cfg)
 
 
 if __name__ == "__main__":
