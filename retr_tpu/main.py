@@ -34,6 +34,36 @@ def apply_device_config(config: Config) -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
+def validate_multihost_launch(config: Config, process_count: int, n_devices: int,
+                              *, has_mesh: bool) -> None:
+    """Refuse silently-wrong multi-process launches (docs/MULTIHOST.md).
+
+    Pure function of the launch shape so the rules are unit-testable without a
+    real multi-process slice (tests/test_main_cli.py); ``main()`` calls it with
+    the live ``jax.process_count()`` / ``jax.devices()`` values."""
+    if process_count <= 1:
+        return
+    # Without a mesh spanning every global device, each process would train an
+    # independent model on its own data shard with no gradient sync and race on
+    # checkpoint_path — silently wrong.
+    if not has_mesh or config.dp_size * config.mp_size != n_devices:
+        raise ValueError(
+            "multi-host launch requires dp_size * mp_size == global device "
+            f"count (got {config.dp_size} x {config.mp_size} over "
+            f"{n_devices} devices); set Config.dp_size/mp_size for the whole slice"
+        )
+    # Sharded (host-specific) train batches must dp-split evenly: the ragged
+    # fallback replicates, which is only value-correct for IDENTICAL per-host
+    # data (eval loaders) — replicating host-specific rows would silently skip
+    # the gradient all-reduce.
+    if (config.batch_size * process_count) % config.dp_size:
+        raise ValueError(
+            f"batch_size * process_count ({config.batch_size} * "
+            f"{process_count}) must divide over dp_size "
+            f"({config.dp_size}) for multi-host training"
+        )
+
+
 def main(config: Config, resume: bool = False, init_pth: str = "") -> None:
     apply_device_config(config)
     logger = MetricLogger(os.path.join(config.checkpoint_path, "metrics.jsonl"))
@@ -61,28 +91,8 @@ def main(config: Config, resume: bool = False, init_pth: str = "") -> None:
         params = pmesh.shard_params(params, mesh)
         logger.log("mesh", dp=config.dp_size, mp=config.mp_size,
                    devices=len(jax.devices()))
-    if jax.process_count() > 1:
-        # Without a mesh spanning every global device, each process would train
-        # an independent model on its own data shard with no gradient sync and
-        # race on checkpoint_path — silently wrong. Fail loudly instead
-        # (docs/MULTIHOST.md).
-        if mesh is None or config.dp_size * config.mp_size != len(jax.devices()):
-            raise ValueError(
-                "multi-host launch requires dp_size * mp_size == global device "
-                f"count (got {config.dp_size} x {config.mp_size} over "
-                f"{len(jax.devices())} devices); set Config.dp_size/mp_size for "
-                "the whole slice"
-            )
-        # Sharded (host-specific) train batches must dp-split evenly: the ragged
-        # fallback replicates, which is only value-correct for IDENTICAL per-host
-        # data (eval loaders) — replicating host-specific rows would silently
-        # skip the gradient all-reduce.
-        if (config.batch_size * jax.process_count()) % config.dp_size:
-            raise ValueError(
-                f"batch_size * process_count ({config.batch_size} * "
-                f"{jax.process_count()}) must divide over dp_size "
-                f"({config.dp_size}) for multi-host training"
-            )
+    validate_multihost_launch(config, jax.process_count(), len(jax.devices()),
+                              has_mesh=mesh is not None)
 
     tokenizer, _, _ = prepare_tokenizer(config.vocab_file)
 

@@ -211,3 +211,26 @@ def test_main_init_from_pth(env, tmp_path):
     # word-embedding table differs from a fresh seed-42 init but training ran
     ft = ckpt.latest_checkpoint(cfg2.checkpoint_path, cfg2)
     assert ft is not None
+
+
+def test_validate_multihost_launch_rules():
+    """The multi-process launch guards, unit-tested as a pure function (a real
+    multi-process slice is unavailable here; main() passes live values)."""
+    from retr_tpu.main import validate_multihost_launch
+
+    cfg = Config(dp_size=8, mp_size=1, batch_size=32)
+    # single process: anything goes
+    validate_multihost_launch(Config(), 1, 1, has_mesh=False)
+    # happy path: 2 hosts x 4 local devices, 64 global rows over dp=8
+    validate_multihost_launch(cfg, 2, 8, has_mesh=True)
+    # no mesh -> unsynced silent training refused
+    with pytest.raises(ValueError, match="dp_size \\* mp_size"):
+        validate_multihost_launch(Config(), 2, 8, has_mesh=False)
+    # mesh not spanning every global device refused
+    with pytest.raises(ValueError, match="dp_size \\* mp_size"):
+        validate_multihost_launch(Config(dp_size=4, mp_size=1), 2, 8, has_mesh=True)
+    # batch_size*count not dividing dp -> the replicated ragged fallback would
+    # silently skip gradient sync for host-specific rows
+    with pytest.raises(ValueError, match="must divide over dp_size"):
+        validate_multihost_launch(Config(dp_size=8, mp_size=1, batch_size=50),
+                                  2, 8, has_mesh=True)
