@@ -219,3 +219,14 @@ def test_global_batch_from_local_single_process():
     ref = jax.device_put(jnp.asarray(x), pmesh.batch_sharding(mesh, 2))
     np.testing.assert_array_equal(np.asarray(g["a"]), np.asarray(ref))
     assert g["a"].sharding == ref.sharding
+
+
+def test_sweep_cli_mp_validation():
+    """--mp must divide the device count; validated before the checkpoint load."""
+    import pytest
+
+    from retr_tpu import sweep_cli
+
+    args = sweep_cli.build_argparser().parse_args(["--checkpoint", "x", "--mp", "3"])
+    with pytest.raises(ValueError, match="must divide the device count"):
+        sweep_cli.main(args, Config())
