@@ -152,7 +152,34 @@ def measure_tpu(batch: int = BATCH, params=None) -> dict:
     }
 
 
+def wait_for_tpu(attempts: int = 6, probe_timeout: int = 180, sleep_s: int = 120) -> bool:
+    """Ride out transient TPU backend outages before measuring.
+
+    The driver runs this unattended at round end; multi-hour 'axon UNAVAILABLE'
+    windows have been observed on this rig. Probe in a SUBPROCESS: a failed
+    backend init is sticky within a process and the init can also hang
+    indefinitely, so neither can be retried in-process."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert any(d.platform != 'cpu' for d in jax.devices())"],
+                timeout=probe_timeout, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: TPU backend unavailable (probe {i + 1}/{attempts}); "
+              f"retrying in {sleep_s}s", file=sys.stderr, flush=True)
+        time.sleep(sleep_s)
+    return False
+
+
 def main():
+    wait_for_tpu()  # proceed either way: a still-down backend then fails loudly
     baseline = measure_torch_baseline()
     # share one params tree across both batch sizes (halves setup time; the
     # decode programs compile per batch shape either way)
