@@ -152,36 +152,86 @@ def measure_tpu(batch: int = BATCH, params=None) -> dict:
     }
 
 
-def wait_for_tpu(attempts: int = 6, probe_timeout: int = 180, sleep_s: int = 120) -> bool:
-    """Ride out transient TPU backend outages before measuring.
+METRIC = "refcoco-val batched greedy (batch 256, 127 steps): expressions/sec/chip"
 
-    The driver runs this unattended at round end; multi-hour 'axon UNAVAILABLE'
-    windows have been observed on this rig. Probe in a SUBPROCESS: a failed
-    backend init is sticky within a process and the init can also hang
-    indefinitely, so neither can be retried in-process."""
+
+def wait_for_tpu(budget_s: float | None = None, probe_timeout: int = 60,
+                 sleep_s: int = 45) -> bool:
+    """Ride out transient TPU backend outages before measuring, within a HARD budget.
+
+    The driver runs this unattended at round end with its own timeout; round 3's
+    unbounded-relative-to-budget retry (6 x (180s probe + 120s sleep) > 25 min)
+    got bench.py killed at rc=124 with zero output (BENCH_r03.json). Total probe
+    window is therefore capped — default 6 min, tunable via RETR_BENCH_PROBE_BUDGET_S
+    — and the caller emits a last-good JSON line on give-up instead of dying silent.
+
+    Probe in a SUBPROCESS: a failed backend init is sticky within a process and the
+    init can also hang indefinitely, so neither can be retried in-process."""
     import subprocess
 
-    for i in range(attempts):
+    if budget_s is None:
+        budget_s = float(os.environ.get("RETR_BENCH_PROBE_BUDGET_S", "360"))
+    deadline = time.monotonic() + budget_s
+    i = 0
+    while True:
+        i += 1
+        t_left = deadline - time.monotonic()
+        if t_left <= 0:
+            return False
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; assert any(d.platform != 'cpu' for d in jax.devices())"],
-                timeout=probe_timeout, capture_output=True,
+                timeout=min(probe_timeout, max(5, t_left)), capture_output=True,
             )
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
             pass
-        print(f"bench: TPU backend unavailable (probe {i + 1}/{attempts}); "
-              f"retrying in {sleep_s}s", file=sys.stderr, flush=True)
+        t_left = deadline - time.monotonic()
+        if t_left <= sleep_s:
+            return False
+        print(f"bench: TPU backend unavailable (probe {i}, {t_left:.0f}s of budget "
+              f"left); retrying in {sleep_s}s", file=sys.stderr, flush=True)
         time.sleep(sleep_s)
-    return False
+
+
+def _last_good() -> dict:
+    """Best previously-recorded numbers, for the degraded-output JSON line."""
+    lg = {}
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAILS.json")) as f:
+            d = json.load(f)
+        lg = {
+            "batch256_captions_per_sec": d.get("10_batch256_greedy", {}).get("captions_per_sec"),
+            "batch128_captions_per_sec": d.get("7_batch128_greedy", {}).get("captions_per_sec"),
+            "batch32_captions_per_sec": d.get("2_batch32_greedy", {}).get("captions_per_sec"),
+            "reference_cpu_baseline_captions_per_sec": d.get("reference_cpu_baseline_captions_per_sec"),
+            "device": d.get("device"),
+            "source": "BENCH_DETAILS.json",
+        }
+    except Exception:
+        pass
+    try:
+        mtime = os.path.getmtime(os.path.join(REPO, "BENCH_DETAILS.json"))
+        lg["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(mtime))
+    except OSError:
+        pass
+    return lg
+
+
+def _emit(out: dict) -> None:
+    print(json.dumps(out), flush=True)
 
 
 def main():
-    wait_for_tpu()  # proceed either way: a still-down backend then fails loudly
+    if not wait_for_tpu():
+        _emit({"metric": METRIC, "value": None, "unit": "captions/s",
+               "vs_baseline": None, "status": "tpu_unavailable",
+               "last_good": _last_good()})
+        return
     baseline = measure_torch_baseline()
-    # share one params tree across both batch sizes (halves setup time; the
+    # share one params tree across batch sizes (halves setup time; the
     # decode programs compile per batch shape either way)
     import jax
 
@@ -192,7 +242,7 @@ def main():
     tpu128 = measure_tpu(MID_BATCH, params=params)
     tpu32 = measure_tpu(BATCH, params=params)
     out = {
-        "metric": "refcoco-val batched greedy (batch 256, 127 steps): expressions/sec/chip",
+        "metric": METRIC,
         "value": round(tpu256["captions_per_sec"], 3),
         "unit": "captions/s",
         "vs_baseline": round(tpu256["captions_per_sec"] / baseline, 2),
@@ -201,8 +251,16 @@ def main():
         "batch32_captions_per_sec": round(tpu32["captions_per_sec"], 3),
         "batch32_vs_baseline": round(tpu32["captions_per_sec"] / baseline, 2),
     }
-    print(json.dumps(out))
+    _emit(out)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — one JSON line on EVERY exit path
+        import traceback
+
+        traceback.print_exc()
+        _emit({"metric": METRIC, "value": None, "unit": "captions/s",
+               "vs_baseline": None, "status": f"error: {type(e).__name__}: {e}",
+               "last_good": _last_good()})
