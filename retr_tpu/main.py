@@ -66,7 +66,13 @@ def validate_multihost_launch(config: Config, process_count: int, n_devices: int
 
 def main(config: Config, resume: bool = False, init_pth: str = "") -> None:
     apply_device_config(config)
-    logger = MetricLogger(os.path.join(config.checkpoint_path, "metrics.jsonl"))
+    # Multi-host runs share checkpoint_path (docs/MULTIHOST.md); give every
+    # non-zero process its own metrics file so events aren't duplicated
+    # process_count times into one metrics.jsonl with non-atomic interleaving
+    # on network filesystems. Process 0 keeps the plain name for tooling.
+    log_name = ("metrics.jsonl" if jax.process_index() == 0
+                else f"metrics.p{jax.process_index()}.jsonl")
+    logger = MetricLogger(os.path.join(config.checkpoint_path, log_name))
     key = jax.random.key(config.seed)
 
     if init_pth:

@@ -34,13 +34,20 @@ DOCUMENTED DELTAS vs the jar (exact list, per docs/ORACLE.md):
      scores are a lower bound whenever a hypothesis paraphrases its reference.
      Drop-in: convert WordNet synsets to the one-synset-per-line format and the
      paraphrase table to ``phrase ||| phrase`` lines (see MeteorResources), then
-     export RETR_METEOR_SYNONYMS / RETR_METEOR_PARAPHRASES.
-  2. The function-word list is a standard closed-class English list embedded
-     below; the jar derives its list from corpus relative frequency (>1e-3).
-  3. The aligner is beam-limited (width 64) with the same objective as the jar's
+     export RETR_METEOR_SYNONYMS / RETR_METEOR_PARAPHRASES. The same applies to
+     the jar's frequency-derived ``function/en.words`` list: the derivation RULE
+     is implemented (:func:`function_words_from_corpus`, relative frequency
+     > 1e-3) and the file drop-in exists (RETR_METEOR_FUNCTION_WORDS, one word
+     per line); without either, a standard closed-class English list is the
+     fallback.
+  2. The aligner is beam-limited (width 64) with the same objective as the jar's
      search; ties beyond the beam may resolve differently on pathological inputs.
-  4. The jar's -norm tokenization is reduced to lowercasing: engine inputs are
-     already tokenizer-normalized, space-separated text (engine.py:117-122).
+Closed in round 4 (previously deltas 2 and 4): the jar's ``-norm`` input
+normalization is now implemented in full (:func:`norm_tokenize` — XML unescape,
+unicode punctuation folding, mteval-v13-style punctuation tokenization,
+lowercase — the exact pipeline of Meteor 1.5's Normalizer under
+``-stdio -l en -norm``), and the function-word list is file/corpus-derivable as
+above instead of static-only.
 Note the scheme itself gives identical hypothesis/reference a score of
 1 - gamma * (S/W) ** beta (S segments, W matched words), not 1.0 — the one-chunk
 penalty does not vanish under the 1.5 parameters.
@@ -88,6 +95,106 @@ FUNCTION_WORDS = frozenset(
     not only just also very too quite rather almost
     's 'll 're 've 'd 'm n't . , ! ? ; : ' " ( ) [ ] -""".split()
 )
+
+
+# ---------------------------------------------------------------------------------
+# -norm input normalization (Meteor 1.5 Normalizer, jar invocation
+# ``-stdio -l en -norm``: tokenize + lowercase; punctuation KEPT — the jar only
+# drops it under -noPunct, which nlg-eval does not pass, engine.py:135-137)
+# ---------------------------------------------------------------------------------
+
+import re as _re
+
+# XML escapes the jar unescapes first (SGML-heritage input)
+_XML_ESCAPES = (("&quot;", '"'), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                ("&apos;", "'"))
+# unicode punctuation folded to ASCII before tokenization
+_UNICODE_FOLD = {
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "“": '"', "”": '"', "„": '"', "‟": '"',
+    "‐": "-", "‑": "-", "‒": "-", "–": "-", "—": "-",
+    "―": "-", "−": "-",
+    "…": "...",
+    " ": " ", " ": " ", " ": " ", " ": " ", "　": " ",
+}
+_UNICODE_FOLD_RE = _re.compile("|".join(map(_re.escape, _UNICODE_FOLD)))
+# mteval-v13 international tokenization (what Meteor 1.5's Normalizer applies):
+_TOK_PUNCT = _re.compile(r"([\{-\~\[-\` -\&\(-\+\:-\@\/])")  # split punct blocks
+_TOK_PERIOD_PRE = _re.compile(r"([^0-9])([\.,])")   # . , unless digit-adjacent
+_TOK_PERIOD_POST = _re.compile(r"([\.,])([^0-9])")
+_TOK_NUM_DASH = _re.compile(r"([0-9])(-)")
+_WS = _re.compile(r"\s+")
+
+
+def norm_tokenize(text: str) -> List[str]:
+    """The jar's ``-norm`` pipeline: XML unescape -> unicode punctuation fold ->
+    mteval-v13 punctuation tokenization -> lowercase -> whitespace collapse.
+
+    Engine inputs are already tokenizer-normalized space-separated text
+    (engine.py:117-122), for which this is nearly a no-op — but the jar applies
+    -norm unconditionally, so scoring arbitrary text (library use, real RefCOCO
+    references before tokenizer round-trip) now matches its tokenization."""
+    for esc, ch in _XML_ESCAPES:
+        if esc in text:
+            text = text.replace(esc, ch)
+    text = _UNICODE_FOLD_RE.sub(lambda m: _UNICODE_FOLD[m.group(0)], text)
+    text = _TOK_PUNCT.sub(r" \1 ", text)
+    text = _TOK_PERIOD_PRE.sub(r"\1 \2 ", text)
+    text = _TOK_PERIOD_POST.sub(r" \1 \2", text)
+    text = _TOK_NUM_DASH.sub(r"\1 - ", text)
+    return _WS.sub(" ", text).strip().lower().split()
+
+
+# ---------------------------------------------------------------------------------
+# Function-word list resolution (the jar's function/en.words)
+# ---------------------------------------------------------------------------------
+
+
+def load_function_words(path: str) -> FrozenSet[str]:
+    """Load a jar-format function-word list: one word per line ('#' comments and
+    blank lines skipped) — the drop-in for Meteor's bundled ``function/en.words``
+    via RETR_METEOR_FUNCTION_WORDS."""
+    words = set()
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            w = line.strip().lower()
+            if w and not w.startswith("#"):
+                words.add(w)
+    return frozenset(words)
+
+
+def function_words_from_corpus(sentences, threshold: float = 1e-3) -> FrozenSet[str]:
+    """Derive a function-word list by the jar's rule: words whose RELATIVE
+    FREQUENCY in a (large, monolingual) corpus exceeds ``threshold`` (1e-3 — how
+    Meteor 1.5 built its bundled function/<lang>.words lists).
+
+    Feed it the corpus the jar would have seen — e.g. all RefCOCO training
+    captions — and pass the result as ``meteor(..., function_words=...)``."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    total = 0
+    for s in sentences:
+        toks = norm_tokenize(s) if isinstance(s, str) else [t.lower() for t in s]
+        counts.update(toks)
+        total += len(toks)
+    if total == 0:
+        return frozenset()
+    return frozenset(w for w, c in counts.items() if c / total > threshold)
+
+
+@lru_cache(maxsize=4)
+def _load_function_words_cached(path: str) -> FrozenSet[str]:
+    return load_function_words(path)
+
+
+def resolve_function_words() -> FrozenSet[str]:
+    """Active function-word list: RETR_METEOR_FUNCTION_WORDS file if set (the
+    jar's en.words drop-in), else the embedded closed-class fallback."""
+    path = os.environ.get("RETR_METEOR_FUNCTION_WORDS")
+    if path:
+        return _load_function_words_cached(path)
+    return FUNCTION_WORDS
 
 
 class MeteorResources:
@@ -312,13 +419,11 @@ class MeteorStats:
         return fmean * (1.0 - pen)
 
 
-def _is_function(word: str) -> bool:
-    return word in FUNCTION_WORDS
-
-
 def _segment_stats(hyp: List[str], ref: List[str],
-                   resources: Optional[MeteorResources] = None) -> MeteorStats:
+                   resources: Optional[MeteorResources] = None,
+                   function_words: FrozenSet[str] = FUNCTION_WORDS) -> MeteorStats:
     st = MeteorStats()
+    _is_function = function_words.__contains__
     for w in hyp:
         if _is_function(w):
             st.test_len_function += 1
@@ -350,16 +455,19 @@ def _segment_stats(hyp: List[str], ref: List[str],
 def meteor_stats(
     references: Sequence[Sequence[str]], hypotheses: Sequence[str],
     resources: Optional[MeteorResources] = None,
+    function_words: Optional[FrozenSet[str]] = None,
 ) -> Tuple[MeteorStats, List[float]]:
     """Aggregate corpus stats (best reference per segment) + per-segment scores."""
+    if function_words is None:
+        function_words = resolve_function_words()
     corpus = MeteorStats()
     seg_scores: List[float] = []
     for refs, hyp in zip(references, hypotheses):
-        hw = hyp.lower().split()
+        hw = norm_tokenize(hyp)
         best: Optional[MeteorStats] = None
         best_score = -1.0
         for r in refs:
-            st = _segment_stats(hw, r.lower().split(), resources)
+            st = _segment_stats(hw, norm_tokenize(r), resources, function_words)
             s = st.score()
             if s > best_score:
                 best, best_score = st, s
@@ -371,14 +479,19 @@ def meteor_stats(
 
 
 def meteor(references: List[List[str]], hypotheses: List[str],
-           resources: Optional[MeteorResources] = None) -> Tuple[float, List[float]]:
+           resources: Optional[MeteorResources] = None,
+           function_words: Optional[FrozenSet[str]] = None) -> Tuple[float, List[float]]:
     """Corpus METEOR (jar-style aggregate-stats score) + per-segment scores.
 
     ``resources=None`` falls back to :meth:`MeteorResources.from_env` — set
     RETR_METEOR_SYNONYMS / RETR_METEOR_PARAPHRASES to activate the synonym and
-    paraphrase modules without code changes.
+    paraphrase modules without code changes. ``function_words=None`` resolves
+    via RETR_METEOR_FUNCTION_WORDS (jar en.words drop-in) or the embedded
+    closed-class fallback; pass :func:`function_words_from_corpus`'s output to
+    use the jar's frequency-derivation rule on your own corpus.
     """
     if resources is None:
         resources = MeteorResources.from_env()
-    corpus, seg_scores = meteor_stats(references, hypotheses, resources)
+    corpus, seg_scores = meteor_stats(references, hypotheses, resources,
+                                      function_words)
     return corpus.score(), seg_scores

@@ -95,11 +95,12 @@ def build_argparser():
                     "FFN inner dim, and the vocab head — parallel/mesh.py specs)")
     ap.add_argument("--decoder", default="greedy",
                     choices=["greedy", "beam", "sample"])
-    ap.add_argument("--batch", type=int, default=256,
-                    help="eval batch size (default 256 — decode tokens are "
-                    "batch-size-invariant (tested) and batch 256 measured ~90%% "
-                    "more captions/s than 32, BENCH_DETAILS.json; pass 0 to use "
-                    "config.batch_size)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="eval batch size (default 0 = config.batch_size, the "
+                    "reference semantics). Decode tokens are batch-size-invariant "
+                    "(tested); on a v5e chip --batch 256 measured ~90%% more "
+                    "captions/s than 32 (BENCH_DETAILS.json) — pass it explicitly "
+                    "where the memory budget allows")
     ap.add_argument("--out", default="", help="write results JSON here")
     ap.add_argument("--store-generations", default="", metavar="PATH",
                     help="also write the generated expressions per dataset/split "

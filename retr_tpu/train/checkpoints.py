@@ -49,12 +49,13 @@ def save_checkpoint(
     val_loss: float = float("nan"),
     cider_score: float = float("nan"),
 ) -> str:
+    import jax
     import orbax.checkpoint as ocp
 
     os.makedirs(directory, exist_ok=True)
     path = os.path.abspath(os.path.join(directory, checkpoint_name(cfg, epoch)))
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
+        ckptr.save(path, state, force=True)  # collective: every process participates
     meta = {
         "epoch": epoch,
         "step": int(state.step),
@@ -63,8 +64,19 @@ def save_checkpoint(
         "cider_score": float(cider_score),
         "config": cfg.to_dict(),
     }
-    with open(os.path.join(path, METADATA_FILE), "w") as f:
-        json.dump(meta, f, indent=2)
+    # Metadata is written by process 0 ONLY (multi-host runs share the checkpoint
+    # directory, docs/MULTIHOST.md) and atomically: tmp file + os.replace, so a
+    # crash mid-write or a concurrent reader can never observe a torn
+    # retr_metadata.json — latest_checkpoint gates on this file existing, and
+    # read_metadata would otherwise die in json.load on a partial file.
+    if jax.process_index() == 0:
+        final = os.path.join(path, METADATA_FILE)
+        tmp = final + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
     return path
 
 
@@ -97,11 +109,16 @@ class AsyncSaver:
         # bound in-flight snapshots to ONE: join the previous save first, so slow
         # checkpoint storage can never pile up HBM-resident state copies (each is
         # params + optimizer moments, ~3x model size). The save still overlaps the
-        # whole epoch between submissions. Worker failures keep surfacing on
-        # wait(), not here.
+        # whole epoch between submissions.
         for t in self._threads:
             t.join()
         self._threads.clear()
+        # A failed PREVIOUS save aborts training at the next epoch, not hours later
+        # at the final wait(): every subsequent epoch would otherwise keep running
+        # with no checkpoint durably written (broken path, full disk, ...).
+        with self._lock:
+            if self._errors:
+                raise self._errors[0]
 
         snapshot = jax.tree.map(
             lambda x: x.copy() if isinstance(x, jax.Array) else x, state

@@ -183,3 +183,71 @@ def test_metrics_to_omit():
     # transposed layout: one reference per segment, two segments
     m = compute_metrics([["a b", "a b"]], ["a b", "a b"], metrics_to_omit=["METEOR", "CIDEr"])
     assert "METEOR" not in m and "CIDEr" not in m and "Bleu_4" in m
+
+
+def test_meteor_norm_tokenize_matches_jar_pipeline():
+    """-norm: XML unescape, unicode fold, mteval-v13 punct splits, lowercase
+    (Meteor 1.5 Normalizer under -stdio -l en -norm; delta 4 closed r4)."""
+    from retr_tpu.metrics.meteor import norm_tokenize
+
+    # punctuation separated from words; case folded. NOTE the apostrophe stays
+    # ATTACHED — mteval-v13's ranges ( -&, (-+, :-@, ...) exclude char 39, so the
+    # jar keeps "woman's" as one token.
+    assert norm_tokenize("The woman's red coat.") == \
+        ["the", "woman's", "red", "coat", "."]
+    # . and , NOT split inside numbers (mteval digit rule), but split at word edges
+    assert norm_tokenize("It costs 3.50, right?") == \
+        ["it", "costs", "3.50", ",", "right", "?"]
+    # dash after digit splits; unicode quotes/dashes folded to ASCII first
+    assert norm_tokenize("a 5-way tie — “wow”") == \
+        ["a", "5", "-", "way", "tie", "-", '"', "wow", '"']
+    # XML escapes unescaped before tokenization
+    assert norm_tokenize("fish &amp; chips") == ["fish", "&", "chips"]
+    # already-normalized engine text (space-separated lowercase) is a no-op
+    assert norm_tokenize("the cat sat") == ["the", "cat", "sat"]
+
+
+def test_meteor_norm_tokenization_affects_scoring():
+    """Pre-r4 lowercase-split treated 'coat.' as one unmatched token; the jar's
+    tokenizer splits the period so the word itself matches."""
+    from retr_tpu.metrics.meteor import meteor
+
+    s_punct, _ = meteor([["the red coat."]], ["the red coat"])
+    s_plain, _ = meteor([["the red coat"]], ["the red coat"])
+    assert s_punct > 0.4  # 'coat' matches despite the trailing period
+    # and the tokenized period only costs a ref-recall word, not the whole token
+    assert s_punct == pytest.approx(s_plain, abs=0.2)
+
+
+def test_meteor_function_words_from_corpus_rule():
+    """The jar's derivation rule: relative frequency > 1e-3 over a corpus."""
+    from retr_tpu.metrics.meteor import function_words_from_corpus
+
+    corpus = ["the cat sat on the mat"] * 1000 + ["zyzzyva"]
+    fw = function_words_from_corpus(corpus, threshold=1e-3)
+    assert "the" in fw and "cat" in fw  # everything frequent qualifies
+    assert "zyzzyva" not in fw          # 1/6001 < 1e-3
+    # tighten: with threshold high enough only 'the' (2x per sentence) survives
+    fw2 = function_words_from_corpus(corpus, threshold=0.25)
+    assert fw2 == frozenset({"the"})
+    assert function_words_from_corpus([]) == frozenset()
+
+
+def test_meteor_function_words_env_dropin(tmp_path, monkeypatch):
+    """RETR_METEOR_FUNCTION_WORDS: jar en.words drop-in changes the weighting."""
+    from retr_tpu.metrics.meteor import meteor, resolve_function_words, FUNCTION_WORDS
+
+    assert resolve_function_words() is FUNCTION_WORDS
+    fwfile = tmp_path / "en.words"
+    fwfile.write_text("# comment\nred\ncat\n\n")
+    monkeypatch.setenv("RETR_METEOR_FUNCTION_WORDS", str(fwfile))
+    fw = resolve_function_words()
+    assert fw == frozenset({"red", "cat"})
+
+    # partial match where the MATCHED word flips content<->function between lists:
+    # with 'red' a function word (weight 1-delta=0.25) the miss on 'dog/cat'
+    # (content) hurts more than under the default list.
+    s_custom, _ = meteor([["red cat"]], ["red dog"])
+    monkeypatch.delenv("RETR_METEOR_FUNCTION_WORDS")
+    s_default, _ = meteor([["red cat"]], ["red dog"])
+    assert s_custom != s_default

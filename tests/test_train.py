@@ -256,3 +256,17 @@ def test_async_saver_roundtrip_and_snapshot_isolation(tmp_path):
     saver2.submit(str(blocker / "sub"), restored, cfg, epoch=0)
     with pytest.raises(OSError):
         saver2.wait()
+
+    # ...and ALSO on the NEXT submit: a broken checkpoint path must abort at the
+    # next epoch, not hours later at training exit (ADVICE r3)
+    saver3 = ckpt.AsyncSaver()
+    saver3.submit(str(blocker / "sub"), restored, cfg, epoch=0)
+    with pytest.raises(OSError):
+        saver3.submit(str(blocker / "sub2"), restored, cfg, epoch=1)
+
+    # metadata writes are atomic: no .tmp leftovers anywhere under the ckpt dir
+    import os as _os
+
+    leftovers = [f for _, _, files in _os.walk(tmp_path / "ck")
+                 for f in files if ".tmp." in f]
+    assert leftovers == []
