@@ -295,8 +295,24 @@ def forward(
 def _pallas_decode_eligible(cfg: Config, batch: int) -> bool:
     """Fused decode kernels need a sublane-aligned batch (the kernels block the
     batch in multiples of 8; Mosaic also rejects B=1 reductions). Other batch sizes
-    fall back to the XLA path (which is the parity reference anyway)."""
+    fall back to the XLA path (which is the parity reference anyway) — and the
+    decode drivers pad any batch up to eligibility (decode._kernel_row_padding)."""
     return cfg.use_pallas_decode and batch >= 8 and batch % 8 == 0
+
+
+def _pallas_runtime_active() -> bool:
+    """Whether the fused kernels will actually RUN here: compiled Mosaic needs a
+    TPU backend; dk.FORCE_INTERPRET is the CPU test hook. Cache layout (head-major
+    for the kernels) and kernel dispatch must make this decision IDENTICALLY —
+    deciding layout from eligibility alone left use_pallas_decode=True configs on
+    CPU with a head-major cache feeding the XLA path (shape error)."""
+    from retr_tpu.ops import decoder_kernels as dk
+
+    return dk.FORCE_INTERPRET or jax.default_backend() != "cpu"
+
+
+def _use_decode_kernels(cfg: Config, batch: int) -> bool:
+    return _pallas_decode_eligible(cfg, batch) and _pallas_runtime_active()
 
 
 class DecodeCache(NamedTuple):
@@ -347,7 +363,7 @@ def init_decode_state(
         cross_v.append(layers.split_heads(layers.linear(mha["v"], memory), h))
 
     dtype = memory.dtype
-    if _pallas_decode_eligible(cfg, b) and not force_xla_layout:
+    if _use_decode_kernels(cfg, b) and not force_xla_layout:
         # fused-kernel layout: head-major [H, B, D, T] (T on lanes) so each
         # grid-over-heads program owns a padding-free (1, B, D, T) cache block.
         shape = (h, b, dh, max_len)
@@ -377,7 +393,7 @@ def decode_step(
     causal/key-padding bias exactly as tgt_key_padding_mask excludes them there.
     """
     max_len = state.self_k[0].shape[
-        3 if _pallas_decode_eligible(cfg, token_ids.shape[0]) else 2
+        3 if _use_decode_kernels(cfg, token_ids.shape[0]) else 2
     ]
     x = decoder_embed(params["embeddings"], token_ids[:, None], cfg, position_offset=step[None])
     # x: [B, 1, C]
@@ -388,11 +404,10 @@ def decode_step(
     self_bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)  # [1,1,1,T]
 
     h = cfg.nheads
-    use_pk = False
-    if _pallas_decode_eligible(cfg, token_ids.shape[0]):
+    use_pk = _use_decode_kernels(cfg, token_ids.shape[0])
+    if use_pk:
         from retr_tpu.ops import decoder_kernels as dk
 
-        use_pk = dk.FORCE_INTERPRET or jax.default_backend() != "cpu"
         pk_interpret = dk.FORCE_INTERPRET
         qpos_row = params["embeddings"]["pos"]["table"][step]       # [C]
         mem_kb = cross.mem_bias[:, 0, 0, :]                          # [B, S]
@@ -485,11 +500,10 @@ def decode_step_beam(
     k = num_beams
     b = bk // k
     h, dh = cfg.nheads, cfg.head_dim
-    use_pk = False
-    if _pallas_decode_eligible(cfg, bk):
+    use_pk = _use_decode_kernels(cfg, bk)
+    if use_pk:
         from retr_tpu.ops import decoder_kernels as dk
 
-        use_pk = dk.FORCE_INTERPRET or jax.default_backend() != "cpu"
         pk_interpret = dk.FORCE_INTERPRET
     max_len = state.self_k[0].shape[3 if use_pk else 2]
 

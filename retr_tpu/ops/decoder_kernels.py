@@ -70,15 +70,42 @@ def _ff_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[:] = x + (_dot(h, w2_ref[:]) + b2_ref[:]).astype(x.dtype)
 
 
+def _ff_batch_block(b: int) -> int:
+    """Batch block for the FF grid. The weights (C*F*2 ~ 4.2MB f32) are grid-
+    invariant (constant index_map -> fetched once); per-program activations are
+    x/out [bb, C] + hidden [bb, F]. bb=128 keeps the whole program under ~10MB
+    VMEM at f32, so batch is never the thing that caps the kernel (VERDICT r3:
+    384 blew the unblocked version's budget while the scaling curve still rose)."""
+    for bb in (128, 64, 32, 24, 16, 8):
+        if b % bb == 0:
+            return bb
+    raise ValueError(f"batch {b} not divisible by 8 (eligibility should prevent this)")
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ff_block(p: Params, x: jax.Array, *, interpret: bool = False) -> jax.Array:
-    """x: [B, C] -> [B, C]; p = {'norm': {scale, bias}, 'lin1': {w, b}, 'lin2': {w, b}}."""
+    """x: [B, C] -> [B, C]; p = {'norm': {scale, bias}, 'lin1': {w, b}, 'lin2': {w, b}}.
+
+    Gridded over batch blocks (weights replicated across the grid via constant
+    index maps) so arbitrarily large batch*beam products fit VMEM."""
     b, c = x.shape
+    bb = _ff_batch_block(b)
+    grid = (b // bb,)
+    row = lambda i: (i, 0)        # batch-blocked operands
+    rep = lambda i: (0, 0)        # grid-invariant (whole-array) operands
+    rep1 = lambda i: (0,)
+    f = p["lin1"]["w"].shape[1]
     return pl.pallas_call(
         _ff_kernel,
+        grid=grid,
         out_shape=jax.ShapeDtypeStruct((b, c), x.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[
+            pl.BlockSpec((bb, c), row),
+            pl.BlockSpec((c,), rep1), pl.BlockSpec((c,), rep1),
+            pl.BlockSpec((c, f), rep), pl.BlockSpec((f,), rep1),
+            pl.BlockSpec((f, c), rep), pl.BlockSpec((c,), rep1),
+        ],
+        out_specs=pl.BlockSpec((bb, c), row),
         interpret=interpret,
     )(
         x,

@@ -418,3 +418,40 @@ def test_greedy_tokens_batch_size_invariant():
         for i in (0, 3)
     ]
     np.testing.assert_array_equal(np.concatenate(halves), full)
+
+
+def test_greedy_padded_rows_epilogue_any_batch():
+    """Batches not divisible by 8 ride the fused kernels via padded rows that
+    start 'finished' and are sliced off — token buffers identical to the XLA
+    path for the REAL rows (VERDICT r3 item 2: eligibility relaxation)."""
+    from retr_tpu.ops import decoder_kernels as dk
+
+    cfg = tiny_cfg()
+    assert cfg.use_pallas_decode is False
+    cfg_pk = cfg.replace(use_pallas_decode=True)
+    _, params = make_oracle(cfg, seed=23)
+    img, mask = make_image_batch(5, cfg.image_size, seed=23)  # 5 % 8 != 0
+    samples = Masked(jnp.asarray(img.numpy()), jnp.asarray(mask.numpy()))
+    common = dict(max_len=cfg.max_position_embeddings, bos_token=90, eos_token=91)
+
+    ref = np.asarray(decode.greedy(params, cfg, samples, **common))
+    assert decode._kernel_row_padding(cfg_pk, 5) == 3
+    dk.FORCE_INTERPRET = True  # actually run the Pallas kernels on the padded b=8
+    try:
+        got = np.asarray(decode.greedy(params, cfg_pk, samples, **common))
+    finally:
+        dk.FORCE_INTERPRET = False
+    np.testing.assert_array_equal(got, ref)
+    assert got.shape[0] == 5  # padding sliced off
+
+    # prefix + sample drivers share the padding epilogue: shape and, for the
+    # forced region, value checks
+    prefix = np.asarray(ref[:, 1:3], dtype=np.int32)
+    lens = jnp.full((5,), 2, jnp.int32)
+    outp = np.asarray(decode.greedy_with_prefix(
+        params, cfg_pk, samples, jnp.asarray(prefix), lens, **common))
+    assert outp.shape[0] == 5
+    np.testing.assert_array_equal(outp[:, 1:3], prefix)
+    outs = np.asarray(decode.sample(
+        params, cfg_pk, samples, jax.random.key(0), temperature=0.0, **common))
+    np.testing.assert_array_equal(outs, ref)  # temperature=0 == greedy

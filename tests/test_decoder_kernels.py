@@ -25,6 +25,16 @@ def test_ff_block_kernel_matches_xla():
     got = dk.ff_block(p, x, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
+    # batch-gridded path (b > one block): identical per-row results, any b % 8
+    for b in (256, 40):  # 256 -> bb=128 two programs; 40 -> bb=8 five programs
+        xb = jax.random.normal(jax.random.fold_in(key, 4), (b, 64))
+        refb = xb + layers.linear(
+            p["lin2"], jax.nn.relu(layers.linear(p["lin1"], layers.layer_norm(p["norm"], xb))))
+        gotb = dk.ff_block(p, xb, interpret=True)
+        np.testing.assert_allclose(np.asarray(gotb), np.asarray(refb), atol=2e-6)
+    assert dk._ff_batch_block(256) == 128 and dk._ff_batch_block(40) == 8
+    assert dk._ff_batch_block(384) == 128 and dk._ff_batch_block(768) == 128
+
 
 def test_cross_attn_block_kernel_matches_xla():
     key = jax.random.key(1)
