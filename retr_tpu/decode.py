@@ -423,7 +423,8 @@ def beam_search_from_memory(
     mem_t = jnp.repeat(memory, k, axis=0)
     mask_t = jnp.repeat(mem_mask, k, axis=0)
     cache, cross = transformer.init_decode_state(
-        params["transformer"], mem_t, mask_t, pos, cfg, max_len
+        params["transformer"], mem_t, mask_t, pos, cfg, max_len,
+        allow_layer_grid=False,  # decode_step_beam needs per-layer caches
     )
 
     tokens = jnp.zeros((b, k, max_len), jnp.int32).at[:, :, 0].set(bos_token)

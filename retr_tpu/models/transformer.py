@@ -315,6 +315,15 @@ def _use_decode_kernels(cfg: Config, batch: int) -> bool:
     return _pallas_decode_eligible(cfg, batch) and _pallas_runtime_active()
 
 
+def _use_layer_grid(cfg: Config, batch: int) -> bool:
+    """Single-launch whole-decoder kernel (dk.fused_stack_step): flag-gated,
+    single-batch-block only (the grid is (L, 2H+1); with one batch block the
+    stacked weights are fetched exactly once per step)."""
+    from retr_tpu.ops import decoder_kernels as dk
+
+    return dk.LAYER_GRID and _use_decode_kernels(cfg, batch) and batch <= 32
+
+
 class DecodeCache(NamedTuple):
     """The MUTABLE half of decode state — per-layer self-attention KV caches as
     tuples of [B, H, T_max, D] arrays. This is the while-loop carry; everything
@@ -344,6 +353,7 @@ def init_decode_state(
     max_len: int,
     *,
     force_xla_layout: bool = False,
+    allow_layer_grid: bool = True,
 ) -> Tuple[DecodeCache, CrossContext]:
     """Precompute cross-attention K/V per decoder layer (memory is fixed), allocate
     empty self-attention caches with static shapes.
@@ -363,16 +373,24 @@ def init_decode_state(
         cross_v.append(layers.split_heads(layers.linear(mha["v"], memory), h))
 
     dtype = memory.dtype
-    if _use_decode_kernels(cfg, b) and not force_xla_layout:
-        # fused-kernel layout: head-major [H, B, D, T] (T on lanes) so each
-        # grid-over-heads program owns a padding-free (1, B, D, T) cache block.
-        shape = (h, b, dh, max_len)
+    if _use_layer_grid(cfg, b) and allow_layer_grid and not force_xla_layout:
+        # single-launch whole-decoder kernel: ONE stacked cache [L, H, B, D, T]
+        # per k/v (held as a 1-tuple so DecodeCache's pytree structure is stable)
+        shape = (cfg.dec_layers, h, b, dh, max_len)
+        cache = DecodeCache(
+            self_k=(jnp.zeros(shape, dtype),), self_v=(jnp.zeros(shape, dtype),)
+        )
     else:
-        shape = (b, h, max_len, dh)
-    cache = DecodeCache(
-        self_k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.dec_layers)),
-        self_v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.dec_layers)),
-    )
+        if _use_decode_kernels(cfg, b) and not force_xla_layout:
+            # fused-kernel layout: head-major [H, B, D, T] (T on lanes) so each
+            # grid-over-heads program owns a padding-free (1, B, D, T) cache block.
+            shape = (h, b, dh, max_len)
+        else:
+            shape = (b, h, max_len, dh)
+        cache = DecodeCache(
+            self_k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.dec_layers)),
+            self_v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.dec_layers)),
+        )
     cross = CrossContext(tuple(cross_k), tuple(cross_v), key_padding_bias(mem_pad_mask))
     return cache, cross
 
@@ -392,12 +410,31 @@ def decode_step(
     `step` (dropout off): padded positions beyond `step` are excluded here by the
     causal/key-padding bias exactly as tgt_key_padding_mask excludes them there.
     """
+    stacked = state.self_k[0].ndim == 5  # layer-grid cache [L, H, B, D, T]
     max_len = state.self_k[0].shape[
-        3 if _use_decode_kernels(cfg, token_ids.shape[0]) else 2
+        4 if stacked else 3 if _use_decode_kernels(cfg, token_ids.shape[0]) else 2
     ]
     x = decoder_embed(params["embeddings"], token_ids[:, None], cfg, position_offset=step[None])
     # x: [B, 1, C]
     qpos = params["embeddings"]["pos"]["table"][step][None, None, :]  # [1, 1, C]
+
+    if stacked:
+        from retr_tpu.ops import decoder_kernels as dk
+
+        # ALL layers in ONE launch: params stacked leaf-wise (loop-invariant, so
+        # XLA hoists the stacks out of the decode while-loop), hidden state
+        # carried across layers in VMEM scratch inside the kernel.
+        slp = dk.stack_layer_params(params["decoder"]["layers"])
+        ck = jnp.stack(cross.cross_k)   # [L, B, H, S, D] — loop-invariant too
+        cv = jnp.stack(cross.cross_v)
+        y, kc, vc = dk.fused_stack_step(
+            slp, x[:, 0, :], params["embeddings"]["pos"]["table"][step],
+            state.self_k[0], state.self_v[0], ck, cv,
+            cross.mem_bias[:, 0, 0, :], step,
+            num_heads=cfg.nheads, interpret=dk.FORCE_INTERPRET,
+        )
+        out = layers.layer_norm(params["decoder"]["norm"], y[:, None, :])
+        return out[:, 0, :], DecodeCache(self_k=(kc,), self_v=(vc,))
 
     # keys at positions > step are masked (their cache rows are zeros anyway).
     valid = jnp.arange(max_len)[None, None, None, :] <= step

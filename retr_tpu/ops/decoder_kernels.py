@@ -869,3 +869,228 @@ def fused_layer_step(
         fp["lin1"]["w"], fp["lin1"]["b"], fp["lin2"]["w"], fp["lin2"]["b"],
     )
     return y, kc, vc
+
+
+# ---------------------------------------------------------------------------------
+# ALL decoder layers in ONE launch: grid (L, 2H+1) over stacked layer params
+# (VERDICT r3 item 3). The per-layer merged kernel (MERGED_LAYER above) lost to
+# the split kernels; the remaining untried shape collapses the 18 launches/step
+# (6 layers x {self, cross, ff}) into ONE pallas_call while KEEPING the phase
+# split that won: the grid's second dim encodes phase exactly like _layer_kernel,
+# and the first dim walks the layers, with the running hidden state carried in a
+# VMEM scratch buffer (scratch persists across grid iterations, so no
+# output-revisit semantics are needed for the x carry). Restricted to batches
+# that fit a single batch block (b <= 32): with one batch block, layer-major and
+# batch-major grid orders coincide and stacked weights are fetched exactly once
+# per step, same HBM traffic as the split kernels.
+# ---------------------------------------------------------------------------------
+
+LAYER_GRID = False  # measured on TPU before enabling; see docs/PERF.md round-4
+
+
+def stack_layer_params(layer_params) -> Params:
+    """Stack a list of per-layer param dicts leaf-wise on a new leading axis.
+
+    Called inside the decode loop body on loop-invariant params — XLA hoists the
+    stack out of the while-loop, so it costs one concat per decode CALL, not per
+    step."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layer_params)
+
+
+def _stack_kernel(step_ref, x_ref, qpos_ref,
+                  ln1s, ln1b, ln2s, ln2b, ln3s, ln3b,
+                  swq, sbq, swk, sbk, swv, sbv, swo, sbo,
+                  cwq, cbq, cwo, cbo,
+                  kc_in, vc_in, ck_ref, cv_ref, bias_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref,
+                  kc_out, vc_out, y_ref,
+                  a1_ref, a2_ref, xs_ref, *, num_heads: int):
+    h = num_heads
+    li = pl.program_id(0)
+    hi = pl.program_id(1)
+    step = step_ref[0]
+    d = swq.shape[3]
+    scale = jnp.float32(d) ** -0.5
+
+    @pl.when(hi < h)
+    def _self_phase():
+        # layer input: the real input block at layer 0, the carried scratch after
+        # (reading uninitialized scratch at li==0 is fine — where() discards it)
+        x = jnp.where(li == 0, x_ref[:].astype(jnp.float32), xs_ref[:])
+        nx = _ln(x, ln1s[0, 0], ln1b[0, 0])
+        qk_in = nx + qpos_ref[:]
+        q = (_dot(qk_in, swq[0, 0]) + sbq[0, 0, 0]) * scale
+        k_new = _dot(qk_in, swk[0, 0]) + sbk[0, 0, 0]
+        v_new = _dot(nx, swv[0, 0]) + sbv[0, 0, 0]
+
+        kc = kc_in[0, 0]  # [B, D, T]
+        vc = vc_in[0, 0]
+        t = kc.shape[2]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+        kc = jnp.where(lane == step, k_new[:, :, None], kc)
+        vc = jnp.where(lane == step, v_new[:, :, None], vc)
+        kc_out[0, 0] = kc.astype(kc_out.dtype)
+        vc_out[0, 0] = vc.astype(vc_out.dtype)
+
+        scores = jnp.sum(q[:, :, None] * kc, axis=1)
+        valid = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) <= step
+        scores = jnp.where(valid, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        attn = jnp.sum(probs[:, None, :] * vc, axis=2)
+        part = _dot(attn, swo[0, 0])
+
+        @pl.when(hi == 0)
+        def _():
+            a1_ref[:] = x + sbo[0, 0] + part
+
+        @pl.when(hi != 0)
+        def _():
+            a1_ref[:] = a1_ref[:] + part
+
+    @pl.when(jnp.logical_and(hi >= h, hi < 2 * h))
+    def _cross_phase():
+        x1 = a1_ref[:]
+        nq = _ln(x1, ln2s[0, 0], ln2b[0, 0])
+        q = (_dot(nq + qpos_ref[:], cwq[0, 0]) + cbq[0, 0, 0]) * scale
+        kh = ck_ref[0, 0]  # [B, D, S]
+        vh = cv_ref[0, 0]
+        scores = jnp.sum(q[:, :, None] * kh, axis=1) + bias_ref[:]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        attn = jnp.sum(probs[:, None, :] * vh, axis=2)
+        part = _dot(attn, cwo[0, 0])
+
+        @pl.when(hi == h)
+        def _():
+            a2_ref[:] = x1 + cbo[0, 0] + part
+
+        @pl.when(hi != h)
+        def _():
+            a2_ref[:] = a2_ref[:] + part
+
+    @pl.when(hi == 2 * h)
+    def _ff_phase():
+        x2 = a2_ref[:]
+        nx = _ln(x2, ln3s[0, 0], ln3b[0, 0])
+        hmid = jnp.maximum(_dot(nx, w1_ref[0]) + b1_ref[0, 0], 0.0)
+        y = x2 + _dot(hmid, w2_ref[0]) + b2_ref[0, 0]
+        xs_ref[:] = y                       # carry to the next layer's self phase
+        y_ref[:] = y.astype(y_ref.dtype)    # resident single block; last write wins
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_stack_step(
+    slp: Params,           # ALL decoder layers' params, leaf-stacked on axis 0
+    x: jax.Array,          # [B, C], B <= 32 (single batch block)
+    qpos: jax.Array,       # [C]
+    k_cache: jax.Array,    # [L, H, B, D, T] stacked self caches
+    v_cache: jax.Array,
+    cross_k: jax.Array,    # [L, B, H, S, D] stacked cross K (XLA layout)
+    cross_v: jax.Array,
+    key_bias: jax.Array,   # [B, S]
+    step: jax.Array,
+    *,
+    num_heads: int,
+    interpret: bool = False,
+):
+    """Returns (x_out [B, C] after ALL layers, k_cache', v_cache')."""
+    L, _, b, d, t = k_cache.shape
+    _, c = x.shape
+    h = num_heads
+    s = cross_k.shape[3]
+    if b > 32:
+        raise ValueError("fused_stack_step requires a single batch block (b <= 32)")
+    cross_k = cross_k.transpose(0, 2, 1, 4, 3)  # -> [L, H, B, D, S]
+    cross_v = cross_v.transpose(0, 2, 1, 4, 3)
+    key_bias = jnp.maximum(key_bias, -1e30)
+
+    sp, cp, fp = slp["self_attn"], slp["cross_attn"], slp["ff"]
+    f = fp["lin1"]["w"].shape[2]
+
+    def w4(p, name):  # [L, C, H*D] -> [L, H, C, D]
+        return p["mha"][name]["w"].reshape(L, c, h, d).transpose(0, 2, 1, 3)
+
+    def b4(p, name):  # [L, H*D] -> [L, H, 1, D]
+        return p["mha"][name]["b"].reshape(L, h, 1, d)
+
+    swo4 = sp["mha"]["out"]["w"].reshape(L, h, d, c)
+    cwo4 = cp["mha"]["out"]["w"].reshape(L, h, d, c)
+
+    # per-layer vectors reshaped [L, 1, C] so the last-two block dims stay
+    # whole-dim (Mosaic tiling rule)
+    def vec(a):
+        return a.reshape(L, 1, -1)
+
+    self_h = lambda li, hi, st: (li, jnp.minimum(hi, h - 1), 0, 0)
+    cross_h = lambda li, hi, st: (li, jnp.clip(hi - h, 0, h - 1), 0, 0)
+    self_cache = lambda li, hi, st: (li, jnp.minimum(hi, h - 1), 0, 0, 0)
+    cross_cache = lambda li, hi, st: (li, jnp.clip(hi - h, 0, h - 1), 0, 0, 0)
+    at_l2 = lambda li, hi, st: (li, 0, 0)
+    whole2 = lambda li, hi, st: (0, 0)
+    lvec = pl.BlockSpec((1, 1, c), at_l2, memory_space=pltpu.VMEM)
+    fixed1 = pl.BlockSpec((c,), lambda li, hi, st: (0,), memory_space=pltpu.VMEM)
+    wblk = lambda: pl.BlockSpec((1, 1, c, d), self_h, memory_space=pltpu.VMEM)
+    bblk = lambda: pl.BlockSpec((1, 1, 1, d), self_h, memory_space=pltpu.VMEM)
+    cwblk = lambda: pl.BlockSpec((1, 1, c, d), cross_h, memory_space=pltpu.VMEM)
+    cbblk = lambda: pl.BlockSpec((1, 1, 1, d), cross_h, memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, 2 * h + 1),
+        in_specs=[
+            pl.BlockSpec((b, c), whole2, memory_space=pltpu.VMEM),   # x
+            fixed1,                                                   # qpos
+            lvec, lvec, lvec, lvec, lvec, lvec,                       # ln1/2/3 s,b
+            wblk(), bblk(), wblk(), bblk(), wblk(), bblk(),           # s q/k/v
+            pl.BlockSpec((1, 1, d, c), self_h, memory_space=pltpu.VMEM),   # swo
+            lvec,                                                           # sbo
+            cwblk(), cbblk(),                                               # c q
+            pl.BlockSpec((1, 1, d, c), cross_h, memory_space=pltpu.VMEM),  # cwo
+            lvec,                                                           # cbo
+            pl.BlockSpec((1, 1, b, d, t), self_cache, memory_space=pltpu.VMEM),   # kc
+            pl.BlockSpec((1, 1, b, d, t), self_cache, memory_space=pltpu.VMEM),   # vc
+            pl.BlockSpec((1, 1, b, d, s), cross_cache, memory_space=pltpu.VMEM),  # ck
+            pl.BlockSpec((1, 1, b, d, s), cross_cache, memory_space=pltpu.VMEM),  # cv
+            pl.BlockSpec((b, s), whole2, memory_space=pltpu.VMEM),                # bias
+            pl.BlockSpec((1, c, f), at_l2, memory_space=pltpu.VMEM),              # w1
+            pl.BlockSpec((1, 1, f), at_l2, memory_space=pltpu.VMEM),              # b1
+            pl.BlockSpec((1, f, c), at_l2, memory_space=pltpu.VMEM),              # w2
+            lvec,                                                                  # b2
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, b, d, t), self_cache, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, b, d, t), self_cache, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), whole2, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, c), jnp.float32),   # a1: self-attn residual accumulator
+            pltpu.VMEM((b, c), jnp.float32),   # a2: cross-attn residual accumulator
+            pltpu.VMEM((b, c), jnp.float32),   # xs: hidden state carried across layers
+        ],
+    )
+    kc, vc, y = pl.pallas_call(
+        functools.partial(_stack_kernel, num_heads=h),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((b, c), x.dtype),
+        ],
+        input_output_aliases={21: 0, 22: 1},
+        interpret=interpret,
+    )(
+        jnp.asarray(step, jnp.int32).reshape(1),
+        x, qpos,
+        vec(sp["norm"]["scale"]), vec(sp["norm"]["bias"]),
+        vec(cp["norm"]["scale"]), vec(cp["norm"]["bias"]),
+        vec(fp["norm"]["scale"]), vec(fp["norm"]["bias"]),
+        w4(sp, "q"), b4(sp, "q"), w4(sp, "k"), b4(sp, "k"), w4(sp, "v"), b4(sp, "v"),
+        swo4, vec(sp["mha"]["out"]["b"]),
+        w4(cp, "q"), b4(cp, "q"), cwo4, vec(cp["mha"]["out"]["b"]),
+        k_cache, v_cache, cross_k, cross_v, key_bias,
+        fp["lin1"]["w"], fp["lin1"]["b"].reshape(L, 1, f), fp["lin2"]["w"], vec(fp["lin2"]["b"]),
+    )
+    return y, kc, vc

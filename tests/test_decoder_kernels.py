@@ -295,3 +295,46 @@ def test_fused_layer_step_matches_split_kernels():
         dk.FORCE_INTERPRET = False
     np.testing.assert_allclose(np.asarray(split), np.asarray(ref), atol=3e-5)
     np.testing.assert_allclose(np.asarray(merged), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_stack_step_matches_xla_path():
+    """The single-launch whole-decoder kernel (grid over layers, VERDICT r3
+    item 3) produces the same hidden states and caches as the XLA path."""
+    cfg_x = Config(
+        backbone="ResNet18", dilation=False, hidden_dim=64, nheads=4, enc_layers=1,
+        dec_layers=3, dim_feedforward=128, vocab_size=96, max_position_embeddings=10,
+        dropout=0.0, image_size=32, use_pallas_decode=False,
+    )
+    cfg_p = cfg_x.replace(use_pallas_decode=True)
+    params = transformer.init(jax.random.key(7), cfg_x)
+
+    b, s, t = 8, 9, cfg_x.max_position_embeddings
+    memory = jax.random.normal(jax.random.key(8), (b, s, cfg_x.hidden_dim))
+    mask = jnp.zeros((b, s), bool).at[:, -2:].set(True)
+    pos = jax.random.normal(jax.random.key(9), (s, cfg_x.hidden_dim))
+    tgt = jax.random.randint(jax.random.key(10), (b, t), 0, cfg_x.vocab_size)
+
+    def run(cfg):
+        cache, cross = transformer.init_decode_state(params, memory, mask, pos, cfg, t)
+        outs = []
+        for i in range(4):
+            out, cache = transformer.decode_step(params, cache, cross, tgt[:, i], jnp.int32(i), cfg)
+            outs.append(out)
+        return jnp.stack(outs), cache
+
+    ref, _ = run(cfg_x)
+    dk.FORCE_INTERPRET = True
+    dk.LAYER_GRID = True
+    try:
+        assert transformer._use_layer_grid(cfg_p, b)
+        got, cache_p = run(cfg_p)
+        assert cache_p.self_k[0].shape == (cfg_p.dec_layers, cfg_p.nheads, b,
+                                           cfg_p.head_dim, t)
+        # and the per-layer split-kernel path (LAYER_GRID off) agrees too
+        dk.LAYER_GRID = False
+        got_split, _ = run(cfg_p)
+    finally:
+        dk.FORCE_INTERPRET = False
+        dk.LAYER_GRID = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_split), np.asarray(ref), atol=3e-5)
