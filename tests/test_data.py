@@ -391,3 +391,30 @@ def test_loader_epoch_pin_reproduces_order(cfg):
     assert b._index_batches() == order_a
     b.epoch = 4
     assert b._index_batches() != order_a  # and epochs still differ from each other
+
+
+def test_real_assets_gate_self_arms(tmp_path):
+    """tools/real_assets_check.py: all-SKIP exit 0 with no assets; the refcoco
+    annotation gate runs (and passes) against the synthetic fixture layout the
+    moment an annotation root exists. The real-data legs arm themselves on
+    contact with real files (VERDICT r3 item 7)."""
+    import subprocess
+    import sys as _sys
+
+    from tests.synth_refcoco import make_synth_refcoco
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "RETR_BERT_VOCAB": "",
+           "RETR_REFERENCE_PTH": "", "RETR_REFCOCO_ROOT": ""}
+    tool = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "tools", "real_assets_check.py")
+
+    r = subprocess.run([_sys.executable, tool], capture_output=True, text=True,
+                       env=env, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert '"ran": []' in r.stdout
+
+    _, ref_dir = make_synth_refcoco(str(tmp_path), n_images=4)
+    r = subprocess.run([_sys.executable, tool, "--refcoco-root", ref_dir],
+                       capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert '"ran": ["refcoco"]' in r.stdout

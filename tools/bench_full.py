@@ -134,15 +134,29 @@ def main():
         "captions_per_sec": 128 / t,
     }
 
-    # 10 (extra): batch-256 greedy — the batch-scaling saturation point
-    # (tools/exp_batch_scale.py: 320 plateaus, 384 exceeds the ff-block VMEM
-    # budget); headline row of bench.py and the sweep CLI default.
+    # 10 (extra): batch-256 greedy — the round-3 batch-scaling saturation point
+    # (tools/exp_batch_scale.py: 320 plateaued; 384 blew the UNBLOCKED ff-block's
+    # VMEM budget); headline row of bench.py.
     s256 = samples_of(256)
     t = _timed(lambda: decode.greedy(params, cfg, s256, **kwargs))
     results["10_batch256_greedy"] = {
         "latency_s_per_batch": t,
         "captions_per_sec": 256 / t,
     }
+
+    # 11 (extra, r4): batches beyond 256 — the ff-block is now gridded over batch
+    # blocks (ops/decoder_kernels.py::_ff_batch_block), so the framework no
+    # longer caps batch size; record where the HARDWARE curve actually turns.
+    for b_big in (384, 512):
+        try:
+            s_big = samples_of(b_big)
+            t = _timed(lambda: decode.greedy(params, cfg, s_big, **kwargs))
+            results[f"11_batch{b_big}_greedy"] = {
+                "latency_s_per_batch": t,
+                "captions_per_sec": b_big / t,
+            }
+        except Exception as e:  # noqa: BLE001 — record the ceiling, don't die
+            results[f"11_batch{b_big}_greedy"] = {"error": f"{type(e).__name__}: {e}"}
 
     # 9 (extra): stochastic sampling decoder, batch 32 (temperature 1, top-k 50) —
     # the extension's cost vs greedy (same KV-cached loop + filter/categorical)

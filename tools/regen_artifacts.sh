@@ -61,11 +61,33 @@ echo "== 5b/5 serving soak: 60 s sustained overload + graceful-drain assertion =
 python tools/bench_serving.py --ckpt /tmp/retr_ab_ckpt/Concat_refcoco_checkpoint_0 \
     --soak 60 --soak-rate 400 | tail -1 > /tmp/serving_soak.json
 python - <<'PYEOF'
-import json
+import json, sys
 cur = json.load(open("docs/BENCH_SERVING.json"))
-cur["soak"] = json.load(open("/tmp/serving_soak.json"))
+prev = cur.get("soak")
+new = json.load(open("/tmp/serving_soak.json"))
+cur["soak"], cur["soak_prev"] = new, (prev or cur.get("soak_prev"))
 json.dump(cur, open("docs/BENCH_SERVING.json", "w"), indent=2)
-print(json.dumps(cur["soak"]["summary"]))
+print(json.dumps(new["summary"]))
+# Regression bound (VERDICT r3 item 8): under sustained overload, p99 and
+# achieved throughput (incl. drain) must stay within 20% of the last recorded
+# soak. Tunnel weather varies >2x across hours for TRANSPORT-bound metrics,
+# but the soak's p99 is queue-wait-dominated (scheduler property, not
+# transport), so 20% is a meaningful pin.
+if prev:
+    bad = []
+    p99_old, p99_new = prev["p99_latency_s"], new["p99_latency_s"]
+    if p99_new > 1.2 * p99_old:
+        bad.append(f"p99 {p99_old:.1f}s -> {p99_new:.1f}s (> +20%)")
+    r_old = prev["summary"]["achieved_rps_incl_drain"]
+    r_new = new["summary"]["achieved_rps_incl_drain"]
+    if r_new < 0.8 * r_old:
+        bad.append(f"achieved_rps_incl_drain {r_old:.1f} -> {r_new:.1f} (< -20%)")
+    if new["summary"]["errors"] or new["summary"]["unresolved_futures"]:
+        bad.append("errors/unresolved futures under soak")
+    if bad:
+        print("SERVING SOAK REGRESSION: " + "; ".join(bad), file=sys.stderr)
+        sys.exit(1)
+    print("soak regression bound OK (p99/throughput within 20% of last record)")
 PYEOF
 
 echo "== 6/6 roofline: measured vs speed-of-light (rewrites docs/ROOFLINE.md) =="
