@@ -885,7 +885,10 @@ def fused_layer_step(
 # per step, same HBM traffic as the split kernels.
 # ---------------------------------------------------------------------------------
 
-LAYER_GRID = False  # measured on TPU before enabling; see docs/PERF.md round-4
+# Measured WIN on TPU v5e (round 4, tools/exp_r4.py --layer-grid-ab, interleaved):
+# 0.506 vs 0.535 ms/step greedy batch-32 (+5.9% captions/s), tokens identical.
+# Applies to single-batch-block decodes (b <= 32): batch-32 eval, serving, prefix.
+LAYER_GRID = True
 
 
 def stack_layer_params(layer_params) -> Params:
@@ -904,8 +907,9 @@ def _stack_kernel(step_ref, x_ref, qpos_ref,
                   kc_in, vc_in, ck_ref, cv_ref, bias_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref,
                   kc_out, vc_out, y_ref,
-                  a1_ref, a2_ref, xs_ref, *, num_heads: int):
+                  a1_ref, a2_ref, xs_ref, *, num_heads: int, num_ff_chunks: int):
     h = num_heads
+    nf = num_ff_chunks
     li = pl.program_id(0)
     hi = pl.program_id(1)
     step = step_ref[0]
@@ -971,14 +975,29 @@ def _stack_kernel(step_ref, x_ref, qpos_ref,
         def _():
             a2_ref[:] = a2_ref[:] + part
 
-    @pl.when(hi == 2 * h)
+    # FF is split over ``nf`` hidden-dim chunks (one grid phase each) so the
+    # w1/w2 blocks stay within the 16 MB scoped-VMEM budget: chunk j computes
+    # relu(nx @ w1[:, j]) @ w2[j, :] and accumulates into the layer carry.
+    @pl.when(hi >= 2 * h)
     def _ff_phase():
+        j = hi - 2 * h
         x2 = a2_ref[:]
         nx = _ln(x2, ln3s[0, 0], ln3b[0, 0])
-        hmid = jnp.maximum(_dot(nx, w1_ref[0]) + b1_ref[0, 0], 0.0)
-        y = x2 + _dot(hmid, w2_ref[0]) + b2_ref[0, 0]
-        xs_ref[:] = y                       # carry to the next layer's self phase
-        y_ref[:] = y.astype(y_ref.dtype)    # resident single block; last write wins
+        hmid = jnp.maximum(_dot(nx, w1_ref[0]) + b1_ref[0, 0, 0], 0.0)
+        part = _dot(hmid, w2_ref[0])
+
+        @pl.when(j == 0)
+        def _():
+            xs_ref[:] = x2 + b2_ref[0, 0] + part
+
+        @pl.when(j != 0)
+        def _():
+            xs_ref[:] = xs_ref[:] + part
+
+        @pl.when(j == nf - 1)
+        def _():
+            # resident single block; last write (= last layer's) wins
+            y_ref[:] = xs_ref[:].astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -1009,6 +1028,13 @@ def fused_stack_step(
 
     sp, cp, fp = slp["self_attn"], slp["cross_attn"], slp["ff"]
     f = fp["lin1"]["w"].shape[2]
+    # FF hidden-dim chunking: keep each w1/w2 block <= c*1024 floats so the
+    # double-buffered FF weights fit the 16 MB scoped-VMEM budget alongside the
+    # self/cross cache blocks (measured: whole-f blocks at f=2048 overflow by ~2 MB).
+    nf = max(1, f // 1024)
+    while f % nf:
+        nf -= 1
+    fc = f // nf
 
     def w4(p, name):  # [L, C, H*D] -> [L, H, C, D]
         return p["mha"][name]["w"].reshape(L, c, h, d).transpose(0, 2, 1, 3)
@@ -1037,9 +1063,13 @@ def fused_stack_step(
     cwblk = lambda: pl.BlockSpec((1, 1, c, d), cross_h, memory_space=pltpu.VMEM)
     cbblk = lambda: pl.BlockSpec((1, 1, 1, d), cross_h, memory_space=pltpu.VMEM)
 
+    ffj = lambda li, hi, st: (li, 0, jnp.clip(hi - 2 * h, 0, nf - 1))
+    ffj2 = lambda li, hi, st: (li, jnp.clip(hi - 2 * h, 0, nf - 1), 0)
+    ffj3 = lambda li, hi, st: (li, jnp.clip(hi - 2 * h, 0, nf - 1), 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(L, 2 * h + 1),
+        grid=(L, 2 * h + nf),
         in_specs=[
             pl.BlockSpec((b, c), whole2, memory_space=pltpu.VMEM),   # x
             fixed1,                                                   # qpos
@@ -1055,9 +1085,9 @@ def fused_stack_step(
             pl.BlockSpec((1, 1, b, d, s), cross_cache, memory_space=pltpu.VMEM),  # ck
             pl.BlockSpec((1, 1, b, d, s), cross_cache, memory_space=pltpu.VMEM),  # cv
             pl.BlockSpec((b, s), whole2, memory_space=pltpu.VMEM),                # bias
-            pl.BlockSpec((1, c, f), at_l2, memory_space=pltpu.VMEM),              # w1
-            pl.BlockSpec((1, 1, f), at_l2, memory_space=pltpu.VMEM),              # b1
-            pl.BlockSpec((1, f, c), at_l2, memory_space=pltpu.VMEM),              # w2
+            pl.BlockSpec((1, c, fc), ffj, memory_space=pltpu.VMEM),               # w1
+            pl.BlockSpec((1, 1, 1, fc), ffj3, memory_space=pltpu.VMEM),           # b1
+            pl.BlockSpec((1, fc, c), ffj2, memory_space=pltpu.VMEM),              # w2
             lvec,                                                                  # b2
         ],
         out_specs=[
@@ -1072,7 +1102,7 @@ def fused_stack_step(
         ],
     )
     kc, vc, y = pl.pallas_call(
-        functools.partial(_stack_kernel, num_heads=h),
+        functools.partial(_stack_kernel, num_heads=h, num_ff_chunks=nf),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
@@ -1091,6 +1121,6 @@ def fused_stack_step(
         swo4, vec(sp["mha"]["out"]["b"]),
         w4(cp, "q"), b4(cp, "q"), cwo4, vec(cp["mha"]["out"]["b"]),
         k_cache, v_cache, cross_k, cross_v, key_bias,
-        fp["lin1"]["w"], fp["lin1"]["b"].reshape(L, 1, f), fp["lin2"]["w"], vec(fp["lin2"]["b"]),
+        fp["lin1"]["w"], fp["lin1"]["b"].reshape(L, nf, 1, fc), fp["lin2"]["w"], vec(fp["lin2"]["b"]),
     )
     return y, kc, vc

@@ -163,6 +163,26 @@ class Batch(NamedTuple):
     loc_feats: Optional[jax.Array] = None
 
 
+# Cross-entropy implementation: "fused" computes mean(logsumexp - target_logit)
+# with the target logit extracted by an iota==target masked reduction — no
+# [B, T, V] log-softmax materialization and no gather (gathers lower to
+# scatter-adds in the backward pass on TPU; see docs/PERF.md round-4).
+# "logsoftmax" is the reference-shaped form, kept for A/B (tools/exp_r4.py).
+# Both are the same function mathematically: -log_softmax[tgt] == lse - logit[tgt].
+CE_IMPL = "fused"
+
+
+def _cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    logits32 = logits.astype(jnp.float32)
+    if CE_IMPL == "logsoftmax":
+        logp = jax.nn.log_softmax(logits32, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0])
+    lse = jax.nn.logsumexp(logits32, axis=-1)
+    vocab = jax.lax.broadcasted_iota(jnp.int32, logits32.shape, logits32.ndim - 1)
+    tgt_logit = jnp.sum(jnp.where(vocab == targets[..., None], logits32, 0.0), axis=-1)
+    return jnp.mean(lse - tgt_logit)
+
+
 def loss_fn(params: Params, cfg: Config, batch: Batch, key, *, train: bool, compute_dtype=jnp.float32):
     logits = caption.forward(
         params, cfg,
@@ -176,9 +196,7 @@ def loss_fn(params: Params, cfg: Config, batch: Batch, key, *, train: bool, comp
         loc_feats=batch.loc_feats,
         key=key, train=train, compute_dtype=compute_dtype,
     )
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, batch.caps[:, 1:][..., None], axis=-1)[..., 0]
-    return jnp.mean(nll)
+    return _cross_entropy(logits, batch.caps[:, 1:])
 
 
 def make_train_step(

@@ -36,6 +36,27 @@ def synth_batch(cfg, b=4, seed=0):
     )
 
 
+def test_cross_entropy_impls_agree():
+    # the fused logsumexp form and the reference-shaped log_softmax+gather form
+    # are the same function; pin values AND gradients equal (docs/PERF.md r4)
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(4, 7, 33)), jnp.float32) * 5.0
+    targets = jnp.asarray(rng.integers(0, 33, (4, 7)), jnp.int32)
+
+    def with_impl(impl):
+        prev, tstate.CE_IMPL = tstate.CE_IMPL, impl
+        try:
+            val, grad = jax.value_and_grad(tstate._cross_entropy)(logits, targets)
+        finally:
+            tstate.CE_IMPL = prev
+        return float(val), np.asarray(grad)
+
+    v_f, g_f = with_impl("fused")
+    v_l, g_l = with_impl("logsoftmax")
+    assert abs(v_f - v_l) < 1e-6
+    np.testing.assert_allclose(g_f, g_l, atol=1e-7)
+
+
 def test_param_labels_partition():
     cfg = tiny_cfg()
     params, _ = __import__("retr_tpu.models.caption", fromlist=["x"]).build_model(cfg, jax.random.key(0))

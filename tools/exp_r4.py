@@ -35,8 +35,9 @@ BATCH, IMAGE, MAX_LEN = 32, 224, 128
 def flagship(**kw):
     from retr_tpu.config import Config
 
+    kw.setdefault("compute_dtype", "bfloat16")
     return Config(backbone="ResNet50", dilation=True, dropout=0.1,
-                  use_pallas_decode=True, compute_dtype="bfloat16", **kw)
+                  use_pallas_decode=True, **kw)
 
 
 def _median_time(fn, fetch, reps=5, rounds=3):
@@ -218,7 +219,6 @@ def train_throughput(reps: int = 4, rounds: int = 3):
     import jax
     import jax.numpy as jnp
 
-    from retr_tpu.masking import Masked
     from retr_tpu.models import caption
     from retr_tpu.train import state as tstate
 
@@ -231,19 +231,23 @@ def train_throughput(reps: int = 4, rounds: int = 3):
             tx = tstate.make_optimizer(cfg, 100)
             state = tstate.TrainState(params, tx.init(params), jnp.int32(0))
             step_fn = tstate.make_train_step(cfg, tx)
-            t_cap = cfg.max_position_embeddings
+            t_cap = cfg.max_position_embeddings + 1
             img = jnp.asarray(rng.normal(size=(batch, 3, IMAGE, IMAGE)), jnp.float32)
-            samples = Masked(img, jnp.zeros((batch, IMAGE, IMAGE), bool))
-            caps = jnp.asarray(rng.integers(1, cfg.vocab_size, (batch, t_cap + 1)), jnp.int32)
-            cmask = jnp.zeros((batch, t_cap + 1), bool)
+            caps = jnp.asarray(rng.integers(1, cfg.vocab_size, (batch, t_cap)), jnp.int32)
+            tbatch = tstate.Batch(
+                images=img,
+                image_masks=jnp.zeros((batch, IMAGE, IMAGE), bool),
+                caps=caps, cap_masks=caps == 0,
+            )
+            key = jax.random.key(0)
 
-            state, loss = step_fn(state, samples, caps, cmask)
+            state, loss = step_fn(state, tbatch, key)
             float(loss)
             dts = []
             for _ in range(rounds):
                 t0 = time.perf_counter()
                 for _ in range(reps):
-                    state, loss = step_fn(state, samples, caps, cmask)
+                    state, loss = step_fn(state, tbatch, key)
                 float(loss)
                 dts.append((time.perf_counter() - t0) / reps)
             dt = float(np.median(dts))
@@ -255,11 +259,60 @@ def train_throughput(reps: int = 4, rounds: int = 3):
     return out
 
 
+def loss_ab(reps: int = 4, rounds: int = 3, batch: int = 32):
+    """Interleaved A/B of the two cross-entropy forms inside the full train step
+    (tstate.CE_IMPL): fused logsumexp+masked-reduction vs log_softmax+gather."""
+    import jax
+    import jax.numpy as jnp
+
+    from retr_tpu.models import caption
+    from retr_tpu.train import state as tstate
+
+    rng = np.random.default_rng(0)
+    cfg = flagship()
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    tx = tstate.make_optimizer(cfg, 100)
+    t_cap = cfg.max_position_embeddings + 1
+    img = jnp.asarray(rng.normal(size=(batch, 3, IMAGE, IMAGE)), jnp.float32)
+    caps = jnp.asarray(rng.integers(1, cfg.vocab_size, (batch, t_cap)), jnp.int32)
+    tbatch = tstate.Batch(images=img, image_masks=jnp.zeros((batch, IMAGE, IMAGE), bool),
+                          caps=caps, cap_masks=caps == 0)
+    key = jax.random.key(0)
+
+    steps, states, losses = {}, {}, {}
+    for impl in ("fused", "logsoftmax"):
+        tstate.CE_IMPL = impl
+        # donate=False: both variants share the same initial params tree
+        steps[impl] = tstate.make_train_step(cfg, tx, donate=False)
+        states[impl] = tstate.TrainState(params, tx.init(params), jnp.int32(0))
+        states[impl], l0 = steps[impl](states[impl], tbatch, key)  # compile
+        losses[impl] = float(l0)
+    out = {impl: [] for impl in steps}
+    for _ in range(rounds):
+        for impl in ("fused", "logsoftmax"):
+            tstate.CE_IMPL = impl
+            st = states[impl]
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                st, loss = steps[impl](st, tbatch, key)
+            float(loss)
+            out[impl].append((time.perf_counter() - t0) / reps)
+            states[impl] = st
+    tstate.CE_IMPL = "fused"
+    res = {impl: {"step_ms": round(float(np.median(v)) * 1e3, 1),
+                  "samples_per_sec": round(batch / float(np.median(v)), 1),
+                  "first_step_loss": losses[impl]} for impl, v in out.items()}
+    res["loss_abs_diff_step1"] = abs(losses["fused"] - losses["logsoftmax"])
+    print(json.dumps({"loss_ab": res}, indent=2))
+    return res
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--layer-grid-ab", action="store_true")
     ap.add_argument("--launch-floor", action="store_true")
     ap.add_argument("--train-throughput", action="store_true")
+    ap.add_argument("--loss-ab", action="store_true")
     args = ap.parse_args()
     if args.layer_grid_ab:
         layer_grid_ab()
@@ -267,3 +320,5 @@ if __name__ == "__main__":
         launch_floor()
     if args.train_throughput:
         train_throughput()
+    if args.loss_ab:
+        loss_ab()
