@@ -4,7 +4,8 @@ Measures batched greedy over RefCOCO-val-shaped inputs with static padding on th
 real TPU chip, against the measured PyTorch CPU reference denominator (BASELINE.md:
 "baseline numbers must be measured, not quoted"). The HEADLINE row is batch 256 —
 the saturation point of the measured batch-scaling curve (tools/exp_batch_scale.py:
-256 = +6% over 128, 320 plateaus, 384 exceeds the ff-block VMEM budget; decode
+256 = +6% over 128; after the r4 batch-blocked ff_block lifted the old VMEM
+ceiling, 384/512/768 measure flat within +0.9% — docs/PERF.md r4; decode
 tokens are batch-size-invariant, tested at tests/test_caption.py) and the sweep
 CLI's default eval batch. Batch-128 (round-2 headline) and batch-32 (reference
 config, BASELINE.md config 2) rows are reported alongside for continuity.
@@ -35,7 +36,7 @@ CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 BATCH = 32             # reference config batch (denominator + continuity row)
 MID_BATCH = 128        # round-2 headline batch (continuity row)
-HEADLINE_BATCH = 256   # batch-scaling saturation point (tools/exp_batch_scale.py)
+HEADLINE_BATCH = 256   # saturation point; curve measured flat to 768 (PERF.md r4)
 MAX_LEN = 128          # config.max_position_embeddings — engine.py:161 decodes at 128
 DECODE_STEPS = MAX_LEN - 1
 IMAGE = 224
