@@ -68,12 +68,14 @@ def mlp_head(p: Params, x: jax.Array) -> jax.Array:
     return x
 
 
-def _backbone_features(params: Params, samples: Masked, cfg: Config, compute_dtype):
+def _backbone_features(params: Params, samples: Masked, cfg: Config, compute_dtype,
+                       stop_prefix_gradient: bool = False):
     """backbone -> input_proj -> flatten: [B, hidden, HW] features + [B, HW] mask."""
     feats = resnet.backbone_forward(
         params["backbone"], samples, name=cfg.backbone, dilation=cfg.dilation,
         compute_dtype=compute_dtype, precision=cfg.backbone_precision
         if cfg.backbone_precision != "highest" else "",
+        stop_prefix_gradient=stop_prefix_gradient,
     )
     if cfg.guard_all_masked_target:
         feats = feats._replace(
@@ -104,9 +106,12 @@ def build_encoder_input(
     *,
     compute_dtype=jnp.float32,
     unmask_key: Optional[jax.Array] = None,
+    stop_prefix_gradient: bool = False,
 ) -> EncoderInput:
     """Run backbones + location projections for whichever variant cfg selects."""
-    src_t, mask_t, _ = _backbone_features(params, samples, cfg, compute_dtype)
+    src_t, mask_t, _ = _backbone_features(
+        params, samples, cfg, compute_dtype, stop_prefix_gradient
+    )
 
     if cfg.use_global_features and cfg.use_location_features:
         assert global_samples is not None and loc_feats is not None
@@ -122,6 +127,7 @@ def build_encoder_input(
             params["backbone"], global_samples, name=cfg.backbone, dilation=cfg.dilation,
             compute_dtype=compute_dtype, precision=cfg.backbone_precision
             if cfg.backbone_precision != "highest" else "",
+            stop_prefix_gradient=stop_prefix_gradient,
         )
         if unmask_key is None:
             unmask_key = jax.random.key(cfg.seed)
@@ -166,9 +172,13 @@ def forward(
 ):
     """Full teacher-forced forward -> logits [B, T, vocab] (+ attention maps)."""
     k_unmask = None if key is None else jax.random.fold_in(key, 2)
+    # train=True is the only differentiated path; the frozen stem prefix
+    # (conv1/bn1/layer1, reference backbone.py:58-60) is pruned from backward
+    # exactly as torch autograd prunes requires_grad=False subgraphs.
     enc_in = build_encoder_input(
         params, cfg, samples, global_samples, loc_feats,
         compute_dtype=compute_dtype, unmask_key=k_unmask,
+        stop_prefix_gradient=train,
     )
     hs, atts = transformer.forward(
         params["transformer"], enc_in.src_t, enc_in.mask_t, enc_in.src_c, enc_in.mask_c,

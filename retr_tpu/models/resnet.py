@@ -272,11 +272,21 @@ def apply(
     dilation: bool = True,
     compute_dtype=jnp.float32,
     precision: str = "",
+    stop_prefix_gradient: bool = False,
 ) -> jax.Array:
     """[B, 3, H, W] image -> [B, C, H/s, W/s] layer4 features (C=2048 for 50/101).
 
     ``precision`` overrides the conv precision ("highest"/"high"/"default"); empty
     picks the compute_dtype's default discipline (see retr_tpu.precision).
+
+    ``stop_prefix_gradient`` puts a ``stop_gradient`` on the layer1 output. The
+    reference freezes the whole prefix below layer2 (conv1/bn1/layer1 get
+    requires_grad=False, backbone.py:58-60), and torch autograd therefore prunes
+    the entire backward subgraph through the stem — no weight grads there and no
+    data grads either, since the image itself needs none. stop_gradient is the
+    XLA equivalent: forward values are untouched, and the backward pass skips the
+    most activation-heavy stages (112^2x64 and 56^2x256 residuals are neither
+    saved nor re-walked). Train steps set it; eval never differentiates.
     """
     block_type, plan = resnet_structure(name, dilation)
     block_apply = _bottleneck_apply if block_type == "bottleneck" else _basic_apply
@@ -297,6 +307,8 @@ def apply(
         for stage in range(4):
             for block_p, (stride, dil, _) in zip(params[f"layer{stage + 1}"], plan[stage]):
                 x = block_apply(block_p, x, stride, dil)
+            if stage == 0 and stop_prefix_gradient:
+                x = jax.lax.stop_gradient(x)
     return x
 
 
@@ -308,12 +320,14 @@ def backbone_forward(
     dilation: bool = True,
     compute_dtype=jnp.float32,
     precision: str = "",
+    stop_prefix_gradient: bool = False,
 ) -> Masked:
     """Reference BackboneBase.forward (models/backbone.py:68-77): features + mask
     downsampled (nearest) to the feature-map size."""
     feats = apply(
         params, samples.tensors, name=name, dilation=dilation,
         compute_dtype=compute_dtype, precision=precision,
+        stop_prefix_gradient=stop_prefix_gradient,
     )
     mask = downsample_mask_nearest(samples.mask, feats.shape[-2], feats.shape[-1])
     return Masked(feats, mask)

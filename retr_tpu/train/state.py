@@ -82,6 +82,28 @@ def _zero_pad_row_grad(pad_token_id: int) -> optax.GradientTransformation:
     return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
 
 
+def _zero_frozen_grads() -> optax.GradientTransformation:
+    """Zero frozen-label grads BEFORE the global-norm clip.
+
+    In torch the frozen set never reaches ``clip_grad_norm_`` (engine.py:81-82):
+    conv1/bn1/layer1 have requires_grad=False (grad None) and every
+    FrozenBatchNorm scale/bias is a BUFFER, so neither contributes to the norm.
+    Our tree keeps them as leaves with real autodiff grads (the stem prefix is
+    stop_gradient-pruned, but layer2-4 folded-BN affines sit above the stop and
+    get nonzero grads), so without this the clip factor — and thus every
+    post-step-1 AdamW update (step 1 is scale-invariant from zero moments) —
+    would drift from the reference."""
+
+    def update(updates, state, params=None):
+        labels = param_labels(updates)
+        zeroed = jax.tree.map(
+            lambda u, l: jnp.zeros_like(u) if l == "frozen" else u, updates, labels
+        )
+        return zeroed, state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
+
+
 def step_lr(base_lr: float, lr_drop_epochs: int, steps_per_epoch: int, gamma: float = 0.1):
     """torch StepLR(step_size=lr_drop, gamma=0.1) as a per-step schedule."""
 
@@ -130,7 +152,7 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
         {"rest": adamw(main_sched), "backbone": adamw(backbone_sched), "frozen": optax.set_to_zero()},
         param_labels,
     )
-    chain = [_zero_pad_row_grad(cfg.pad_token_id)]
+    chain = [_zero_pad_row_grad(cfg.pad_token_id), _zero_frozen_grads()]
     if cfg.clip_max_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.clip_max_norm))
     chain.append(tx)

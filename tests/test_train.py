@@ -120,6 +120,47 @@ def test_pad_row_gradient_is_zero():
     assert not np.allclose(moved, np.asarray(params0["transformer"]["embeddings"]["word"]["table"][5]))
 
 
+def test_frozen_prefix_backward_is_pruned():
+    """train=True stops gradients at the layer1 output (reference backbone.py:58-60
+    freezes conv1/bn1/layer1; torch autograd prunes that backward subgraph — so do
+    we): frozen-prefix grads are exactly zero, trainable grads are unchanged vs the
+    unpruned backward (train=False with dropout=0 is the same function minus the
+    stop_gradient)."""
+    from retr_tpu.models import caption
+
+    cfg = tiny_cfg(dropout=0.0)
+    params, _ = caption.build_model(cfg, jax.random.key(2))
+    batch = synth_batch(cfg)
+
+    def grads_for(train):
+        return jax.grad(tstate.loss_fn)(
+            params, cfg, batch, jax.random.key(0), train=train
+        )
+
+    g_train, g_eval = grads_for(True), grads_for(False)
+
+    for k in ("conv1", "bn1", "layer1"):
+        for leaf in jax.tree.leaves(g_train["backbone"][k]):
+            np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+    # without the stop, the prefix gets real (nonzero) grads
+    assert any(
+        np.abs(np.asarray(leaf)).max() > 0
+        for leaf in jax.tree.leaves(g_eval["backbone"]["layer1"])
+    )
+    # everything from layer2 up is bit-identical to the unpruned backward
+    labels = tstate.param_labels(params)
+    flat_t = jax.tree_util.tree_leaves_with_path(g_train)
+    flat_e = {jax.tree_util.keystr(p): l for p, l in jax.tree_util.tree_leaves_with_path(g_eval)}
+    flat_lab = {jax.tree_util.keystr(p): l for p, l in jax.tree_util.tree_leaves_with_path(labels)}
+    checked = 0
+    for path, leaf in flat_t:
+        ks = jax.tree_util.keystr(path)
+        if flat_lab[ks] != "frozen":
+            np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_e[ks]))
+            checked += 1
+    assert checked > 10
+
+
 def test_dp_mp_sharded_train_step():
     """Full train step under a (dp=4, mp=2) mesh on the 8 virtual CPU devices."""
     assert len(jax.devices()) == 8

@@ -119,3 +119,30 @@ def test_adamw_two_group_step_parity():
         np.asarray(got["backbone"]["conv1"]["w"]),
         np.asarray(params["backbone"]["conv1"]["w"]),
     )
+
+    # --- SECOND step: scale-sensitive parity. AdamW's first update from zero
+    # moments is sign(g) — invariant to any uniform clip factor — so only a
+    # second step can detect a global-norm-clip mismatch (e.g. frozen grads
+    # leaking into the norm; torch excludes them: grad None / BN buffers).
+    out2 = tm(img, mask, caps[:, :-1], cap_mask[:, :-1])
+    loss_t2 = torch.nn.CrossEntropyLoss()(out2.permute(0, 2, 1), caps[:, 1:])
+    opt.zero_grad()
+    loss_t2.backward()
+    torch.nn.utils.clip_grad_norm_(tm.parameters(), cfg.clip_max_norm)
+    opt.step()
+
+    state3, loss_j2 = step(state2, batch, jax.random.key(0))
+    assert abs(float(loss_j2) - float(loss_t2.detach())) < 2e-5, (
+        float(loss_j2), float(loss_t2))
+
+    after2 = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    got2 = state3.params
+    np.testing.assert_allclose(
+        np.asarray(got2["mlp"]["layers"][0]["w"]), after2["mlp.layers.0.weight"].T,
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got2["backbone"]["layer2"][0]["conv1"]["w"]),
+        after2["backbone.body.layer2.0.conv1.weight"],
+        atol=5e-5,
+    )

@@ -13,6 +13,11 @@ Modes:
   --train-throughput train-step A/B: f32-HIGHEST vs bf16 compute, batch 32 and
                      64, donation on (the production path), interleaved
                      (VERDICT r3 item 4).
+  --frozen-prefix-ab train-step A/B: stop_gradient at the frozen layer1 output
+                     (torch prunes that backward subgraph, reference
+                     backbone.py:58-60) vs the full-tree backward; bf16,
+                     batch 32 and 128, interleaved, losses asserted equal
+                     (VERDICT r3 item 4).
 
 Run on an idle host (no concurrent pytest).
 """
@@ -307,12 +312,119 @@ def loss_ab(reps: int = 4, rounds: int = 3, batch: int = 32):
     return res
 
 
+def frozen_prefix_ab(reps: int = 4, rounds: int = 3, batches=(32, 128)):
+    """Interleaved A/B of the frozen-prefix backward prune (stop_gradient at the
+    layer1 output — torch never backprops through requires_grad=False
+    conv1/bn1/layer1, reference backbone.py:58-60) vs the full-tree backward.
+
+    Forward values are identical and frozen grads are optimizer-zeroed either
+    way, so the step losses must match exactly — asserted per batch size."""
+    import jax
+    import jax.numpy as jnp
+
+    from retr_tpu.models import caption, resnet
+    from retr_tpu.train import state as tstate
+
+    import optax
+
+    orig_apply = resnet.apply
+    orig_zero_frozen = tstate._zero_frozen_grads
+
+    def apply_no_stop(params, x, **kw):
+        kw["stop_prefix_gradient"] = False
+        return orig_apply(params, x, **kw)
+
+    def patch(name):
+        # "full" reproduces the round-3 step exactly: no stop_gradient AND no
+        # pre-clip frozen-grad zeroing (which alone would let XLA DCE the
+        # frozen backward and understate the delta)
+        resnet.apply = orig_apply if name == "pruned" else apply_no_stop
+        tstate._zero_frozen_grads = (
+            orig_zero_frozen if name == "pruned" else optax.identity
+        )
+
+    rng = np.random.default_rng(0)
+    cfg = flagship()
+    out = {}
+    for batch in batches:
+        params, _ = caption.build_model(cfg, jax.random.key(0))
+        t_cap = cfg.max_position_embeddings + 1
+        img = jnp.asarray(rng.normal(size=(batch, 3, IMAGE, IMAGE)), jnp.float32)
+        caps = jnp.asarray(rng.integers(1, cfg.vocab_size, (batch, t_cap)), jnp.int32)
+        tbatch = tstate.Batch(images=img,
+                              image_masks=jnp.zeros((batch, IMAGE, IMAGE), bool),
+                              caps=caps, cap_masks=caps == 0)
+        key = jax.random.key(0)
+
+        steps, states, losses = {}, {}, {}
+        for name in ("pruned", "full"):
+            patch(name)
+            tx = tstate.make_optimizer(cfg, 100)
+            # donate=False: variants share the initial params tree
+            steps[name] = tstate.make_train_step(cfg, tx, donate=False)
+            states[name] = tstate.TrainState(params, tx.init(params), jnp.int32(0))
+            states[name], l0 = steps[name](states[name], tbatch, key)  # traces here
+            losses[name] = float(l0)
+        resnet.apply = orig_apply
+        tstate._zero_frozen_grads = orig_zero_frozen
+        dts = {name: [] for name in steps}
+        for _ in range(rounds):
+            for name in ("pruned", "full"):
+                st = states[name]
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    st, loss = steps[name](st, tbatch, key)
+                float(loss)
+                dts[name].append((time.perf_counter() - t0) / reps)
+                states[name] = st
+        row = {name: {"step_ms": round(float(np.median(v)) * 1e3, 1),
+                      "samples_per_sec": round(batch / float(np.median(v)), 1)}
+               for name, v in dts.items()}
+        row["loss_abs_diff_step1"] = abs(losses["pruned"] - losses["full"])
+        out[f"b{batch}"] = row
+        del steps, states
+
+    # pruned-only batch-256 scaling row (donation on = the production path);
+    # guarded: a full-backward 256 was never measured and may not fit
+    try:
+        batch = 256
+        params, _ = caption.build_model(cfg, jax.random.key(0))
+        tx = tstate.make_optimizer(cfg, 100)
+        t_cap = cfg.max_position_embeddings + 1
+        img = jnp.asarray(rng.normal(size=(batch, 3, IMAGE, IMAGE)), jnp.float32)
+        caps = jnp.asarray(rng.integers(1, cfg.vocab_size, (batch, t_cap)), jnp.int32)
+        tbatch = tstate.Batch(images=img,
+                              image_masks=jnp.zeros((batch, IMAGE, IMAGE), bool),
+                              caps=caps, cap_masks=caps == 0)
+        step = tstate.make_train_step(cfg, tx)
+        state = tstate.TrainState(params, tx.init(params), jnp.int32(0))
+        state, loss = step(state, tbatch, jax.random.key(0))
+        float(loss)
+        dts = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                state, loss = step(state, tbatch, jax.random.key(0))
+            float(loss)
+            dts.append((time.perf_counter() - t0) / reps)
+        dt = float(np.median(dts))
+        out["b256_pruned_only"] = {"step_ms": round(dt * 1e3, 1),
+                                   "samples_per_sec": round(batch / dt, 1),
+                                   "loss_finite": bool(np.isfinite(float(loss)))}
+    except Exception as e:  # noqa: BLE001 — record instead of dying
+        out["b256_pruned_only"] = {"error": repr(e)[:300]}
+
+    print(json.dumps({"frozen_prefix_ab": out}, indent=2))
+    return out
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--layer-grid-ab", action="store_true")
     ap.add_argument("--launch-floor", action="store_true")
     ap.add_argument("--train-throughput", action="store_true")
     ap.add_argument("--loss-ab", action="store_true")
+    ap.add_argument("--frozen-prefix-ab", action="store_true")
     args = ap.parse_args()
     if args.layer_grid_ab:
         layer_grid_ab()
@@ -322,3 +434,5 @@ if __name__ == "__main__":
         train_throughput()
     if args.loss_ab:
         loss_ab()
+    if args.frozen_prefix_ab:
+        frozen_prefix_ab()
