@@ -263,6 +263,10 @@ def report(peak_flops: float, peak_bw: float):
             f"{100*r['sol_fraction']:.0f}% | {r['bound']} | {r['gflops']:.1f} | {mb} |"
         )
     pct = {r["path"].split(" ")[0]: f"{100 * r['sol_fraction']:.0f}%" for r in rows}
+    lf = None
+    lf_path = os.path.join(REPO, "docs", "LAUNCH_FLOOR.json")
+    if os.path.exists(lf_path):
+        lf = json.load(open(lf_path))["launch_floor"]
     lines += [
         "",
         f"Greedy end-to-end at batch {b}: encode {m['encode_s']*1e3:.1f} ms once + "
@@ -294,6 +298,48 @@ def report(peak_flops: float, peak_bw: float):
         "saturation as d grows. Training throughput still scales with batch",
         "(BENCH_DETAILS.json raw-step rows) for users who want larger batches.",
         "",
+    ]
+    if lf:
+        lines += [
+            "## Per-launch / per-kernel floor (closes the decode-step question "
+            "quantitatively)",
+            "",
+            f"Standalone sub-kernel costs at batch {lf.get('batch', 32)} "
+            "(tools/exp_r4.py --launch-floor: each block chained "
+            "data-dependently in a `fori_loop`, one scalar fetch at the end; "
+            f"measured {lf.get('measured_at', '')}):",
+            "",
+            "| piece | standalone µs/iter |",
+            "|---|---|",
+            f"| tiny [8,128] Pallas kernel (pure fixed dispatch+loop-step cost) | {lf['tiny_kernel_us_per_launch']} |",
+            f"| `ff_block` | {lf['ff_block_us']} |",
+            f"| `cross_attn_block` | {lf['cross_attn_block_us']} |",
+            f"| `self_attn_block` | {lf['self_attn_block_us']} |",
+            f"| MLP head + argmax (XLA fusions) | {lf['mlp_head_argmax_us']} |",
+            "",
+            f"Sum of parts = {lf['sum_of_parts_us_per_step']} µs/step, vs the "
+            "integrated split-kernel step's 535 µs and the LAYER_GRID "
+            "single-launch step's 506 µs (batch 32, docs/PERF.md r4). Three "
+            "conclusions the numbers force:",
+            "",
+            "1. **Each sub-kernel runs 14–26 µs above the 48 µs fixed cost** — "
+            "per-phase compute at batch 32 is tiny; the phases are "
+            "overhead-dominated in isolation.",
+            "2. **The integrated program already pipelines dispatch**: parts sum "
+            "to 2.5× the real step, and collapsing 19 launches/step to 4 "
+            "(LAYER_GRID) saved only 29 µs — so amortized per-launch cost "
+            "inside the decode while-loop is ~2 µs, not 48 µs. Launch count is "
+            "NOT the remaining bottleneck.",
+            "3. **The floor is the serial phase chain**: 18 data-dependent "
+            "sub-kernel executions × (their standalone-minus-fixed compute) "
+            "≈ 0.41 ms/step ≈ the measured 0.44–0.51 ms. At batch 32 the "
+            "remaining headroom lives inside kernel occupancy (per-phase "
+            "working sets of ~KB against a 900 MHz core), which is exactly why "
+            "throughput comes from batch width (flat ~624 captions/s at "
+            "256–768), not from further launch surgery.",
+            "",
+        ]
+    lines += [
         "Regenerate: `python tools/roofline.py --mode analytic && python",
         "tools/roofline.py --mode measure && python tools/roofline.py --mode report`",
         "(analytic runs on CPU; measure needs the chip and an idle host).",
