@@ -9,6 +9,7 @@ reference's Config is a plain attribute bag with no validation or serialization.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 from dataclasses import dataclass
 from os.path import join
@@ -190,3 +191,32 @@ class Config:
     @property
     def num_patches(self) -> int:
         return self.feature_hw * self.feature_hw
+
+
+# Fields that can never enter a traced eval/decode program: data locations, loop
+# control, training hyperparameters, and host-side knobs. ``dropout`` is included
+# because every decode/score path runs the model with train=False, where the rate
+# is Python-gated out of the trace (models/layers.py::dropout).
+DECODE_NEUTRAL_FIELDS = (
+    "prefix", "dir", "ref_base", "ref_dir", "limit", "project_data_path",
+    "checkpoint_path", "checkpoint", "verbose", "num_workers", "early_stopping",
+    "batch_size", "device", "start_epoch", "async_checkpoints", "vocab_file",
+    "epochs", "lr", "lr_backbone", "lr_drop", "weight_decay", "clip_max_norm",
+    "lr_schedule", "warmup_steps", "grad_accum_steps", "dp_size", "mp_size",
+    "dropout",
+)
+
+_FIELD_DEFAULTS = {f.name: f.default for f in dataclasses.fields(Config)}
+
+
+@functools.lru_cache(maxsize=None)
+def program_config(cfg: Config) -> Config:
+    """Project ``cfg`` onto the fields a traced decode/score program can read.
+
+    jit keys its executable cache on the static ``cfg`` argument, and this jax
+    build does NOT dedupe identical HLO across cache entries — so two configs
+    differing only in, say, a tmp-dir path would compile the same decode program
+    twice (~10-20 s each on the 1-core test host; minutes through the TPU remote
+    compiler). Public decode entry points normalize their cfg through this
+    function so host-only knobs can't fragment the compile cache."""
+    return cfg.replace(**{k: _FIELD_DEFAULTS[k] for k in DECODE_NEUTRAL_FIELDS})

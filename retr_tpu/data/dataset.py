@@ -41,6 +41,27 @@ class HostBatch(NamedTuple):
     loc_feats: Optional[np.ndarray] = None
 
 
+def pad_host_batch(host: HostBatch, to_size: int) -> HostBatch:
+    """Repeat the final row until the batch has ``to_size`` rows.
+
+    Decode/eval programs compile per batch SHAPE (static shapes on TPU), so a
+    ragged trailing loader batch would otherwise cost a fresh XLA executable —
+    minutes through the TPU remote-compile service. Callers slice the padded
+    rows back off (decode row-batch invariance is pinned in tests). ann_ids are
+    padded too; keep the original batch around when the real row count matters."""
+    b = host.target_images.shape[0]
+    if b >= to_size:
+        return host
+    reps = to_size - b
+
+    def pad(x):
+        if x is None:
+            return None
+        return np.concatenate([x, np.repeat(x[-1:], reps, axis=0)], axis=0)
+
+    return HostBatch(*(pad(f) for f in host))
+
+
 class RefCocoCaptions:
     """Annotation-backed dataset; __getitem__ does the host half of preprocessing."""
 

@@ -27,12 +27,29 @@ from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from retr_tpu.config import Config
+from retr_tpu.config import Config, program_config
 from retr_tpu.masking import Masked
 from retr_tpu.models import caption, transformer
 from retr_tpu.precision import matmul_precision
 
 Params = Dict[str, Any]
+
+
+def _normalize_static_cfg(fn):
+    """Route the static ``cfg`` through config.program_config before it reaches
+    jit: host-only fields (paths, batch sizes, LR knobs, ...) can't enter these
+    traces, but they WOULD fragment jit's executable cache — and this jax build
+    never dedupes identical HLO, so each fragment is a real 10 s+ recompile."""
+
+    def wrapper(params, cfg=None, *args, **kwargs):
+        if cfg is None:
+            cfg = kwargs.pop("cfg")
+        return fn(params, program_config(cfg), *args, **kwargs)
+
+    wrapper.__name__ = getattr(fn, "__name__", "decode_fn")
+    wrapper.__doc__ = fn.__doc__
+    wrapper.__wrapped__ = fn
+    return wrapper
 
 
 # ---------------------------------------------------------------------------------
@@ -128,6 +145,7 @@ def greedy_from_memory(
     return out.captions[:b_real]
 
 
+@_normalize_static_cfg
 @partial(jax.jit, static_argnames=("cfg", "max_len", "bos_token", "eos_token", "compute_dtype"))
 def greedy(
     params: Params,
@@ -158,6 +176,7 @@ def greedy(
 # ---------------------------------------------------------------------------------
 
 
+@_normalize_static_cfg
 @partial(jax.jit, static_argnames=("cfg", "max_len", "bos_token", "eos_token", "compute_dtype"))
 def greedy_with_prefix(
     params: Params,
@@ -238,6 +257,7 @@ class _SampleCarry(NamedTuple):
     step: jax.Array
 
 
+@_normalize_static_cfg
 @partial(
     jax.jit,
     static_argnames=("cfg", "max_len", "bos_token", "eos_token", "temperature",
@@ -343,6 +363,7 @@ def sample(
 # ---------------------------------------------------------------------------------
 
 
+@_normalize_static_cfg
 @partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def sequence_scores(
     params: Params,
@@ -517,6 +538,7 @@ def beam_search_from_memory(
     return tokens, norm
 
 
+@_normalize_static_cfg
 @partial(
     jax.jit,
     static_argnames=("cfg", "max_len", "bos_token", "eos_token", "beam_size", "compute_dtype"),

@@ -336,8 +336,15 @@ def eval_model(
     references: List[List[str]] = []
 
     def dispatch(host_batch):
+        # Pad ragged trailing batches to the loader batch size so they reuse the
+        # full-batch decode executable (data.dataset.pad_host_batch); the
+        # duplicate rows are sliced off in collect(), which keys off the
+        # ORIGINAL host_batch's ann_ids.
+        from retr_tpu.data.dataset import pad_host_batch
+
+        padded = pad_host_batch(host_batch, getattr(loader, "batch_size", 0))
         with timer.phase("input"):
-            batch = device_batch(host_batch, train=False)
+            batch = device_batch(padded, train=False)
         samples = Masked(batch.images, batch.image_masks)
         g = Masked(batch.global_images, batch.global_masks) if batch.global_images is not None else None
         with timer.phase("decode"):
@@ -377,6 +384,7 @@ def eval_model(
         ids_dev, host_batch = entry
         with timer.phase("fetch"):
             ids = np.asarray(ids_dev)  # force completion: fetch is the only real barrier
+        ids = ids[: len(host_batch.ann_ids)]  # drop pad_ragged's duplicate rows
 
         pruned = decode_mod.prune_token_ids(
             ids.tolist(), clean=True,

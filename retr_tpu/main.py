@@ -97,6 +97,11 @@ def main(config: Config, resume: bool = False, init_pth: str = "") -> None:
         params = pmesh.shard_params(params, mesh)
         logger.log("mesh", dp=config.dp_size, mp=config.mp_size,
                    devices=len(jax.devices()))
+    else:
+        # Commit to the default device so placement matches checkpoint-restored
+        # arrays — jit keys executables on arg placement, and an uncommitted
+        # fresh init would make every program recompile after --resume.
+        params = jax.tree.map(lambda x: jax.device_put(x, jax.devices()[0]), params)
     validate_multihost_launch(config, jax.process_count(), len(jax.devices()),
                               has_mesh=mesh is not None)
 

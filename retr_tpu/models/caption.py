@@ -34,6 +34,8 @@ Params = Dict[str, Any]
 
 
 def init(key, cfg: Config) -> Params:
+    if cfg.use_global_features and not cfg.use_location_features:
+        raise NotImplementedError()  # caption.py:198-199; raise before building
     kb, kp, kt, km1, km2, km3, kloc = jax.random.split(key, 7)
     nc, d = cfg.backbone_num_channels, cfg.hidden_dim
     params: Params = {
@@ -53,8 +55,6 @@ def init(key, cfg: Config) -> Params:
         params["loc_proj"] = layers.torch_linear_init(kloc, 1, d)
     elif cfg.use_location_features:
         params["loc_proj"] = layers.torch_linear_init(kloc, cfg.num_location_features, d)
-    elif cfg.use_global_features:
-        raise NotImplementedError()  # matches caption.py:198-199
     return params
 
 
@@ -230,6 +230,11 @@ def build_model(cfg: Config, key=None):
     if key is None:
         key = jax.random.key(cfg.seed)
     params = init(key, cfg)
+    # Commit to the default device: jit keys executables on argument placement,
+    # checkpoint restores come back committed, and a mixed committed/uncommitted
+    # population makes otherwise-identical programs recompile (~10 s on the CPU
+    # test host, minutes through the TPU remote-compile service).
+    params = jax.tree.map(lambda x: jax.device_put(x, jax.devices()[0]), params)
 
     def criterion(logits: jax.Array, targets: jax.Array) -> jax.Array:
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -23,19 +23,7 @@ from retr_tpu.data.dataset import DataLoader, HostBatch
 from retr_tpu.parallel.mesh import batch_sharding, replicated
 
 
-def pad_host_batch(host: HostBatch, to_size: int) -> HostBatch:
-    """Repeat the final row until the batch has ``to_size`` rows (static shapes)."""
-    b = host.target_images.shape[0]
-    if b == to_size:
-        return host
-    reps = to_size - b
-
-    def pad(x):
-        if x is None:
-            return None
-        return np.concatenate([x, np.repeat(x[-1:], reps, axis=0)], axis=0)
-
-    return HostBatch(*(pad(f) for f in host))
+from retr_tpu.data.dataset import pad_host_batch  # canonical impl; re-exported
 
 
 def shard_batch(batch, mesh):

@@ -139,7 +139,51 @@ def build_schedule(cfg: Config, base_lr: float, steps_per_epoch: int):
     return sched
 
 
-def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+def _program_key(cfg: Config) -> tuple:
+    """Hashable projection of cfg onto the fields that can enter a traced
+    train/eval program.
+
+    XLA executables are NOT deduped across fresh ``jax.jit`` wrappers in this
+    jax build (measured: a second ``make_train_step`` with an identical config
+    recompiles the full ~23 s program on the CPU test host), and the persistent
+    compilation cache deadlocks here (docs/ROADMAP.md gotchas) — so the factories
+    below memoize on this key instead. Paths, loop control, and host-side knobs
+    are excluded so e.g. ``main(resume=...)`` with a different ``epochs`` reuses
+    the already-compiled step; ``epochs`` enters the program only through the
+    cosine schedule's decay length, so it stays in the key for that schedule."""
+    skip = {
+        "prefix", "dir", "ref_base", "ref_dir", "limit", "project_data_path",
+        "checkpoint_path", "checkpoint", "verbose", "num_workers",
+        "early_stopping", "batch_size", "device", "start_epoch",
+        "async_checkpoints", "vocab_file", "beam_size", "length_penalty",
+        "sample_temperature", "sample_top_k", "sample_top_p",
+        "dp_size", "mp_size",
+    }
+    if cfg.lr_schedule == "step":
+        skip.add("epochs")
+    import dataclasses
+
+    return tuple(
+        (f.name, getattr(cfg, f.name)) for f in dataclasses.fields(cfg)
+        if f.name not in skip
+    )
+
+
+_OPT_CACHE: Dict[tuple, optax.GradientTransformation] = {}
+_STEP_CACHE: Dict[tuple, Tuple[optax.GradientTransformation, Callable]] = {}
+_EVAL_CACHE: Dict[tuple, Callable] = {}
+
+
+def make_optimizer(
+    cfg: Config, steps_per_epoch: int, *, memo: bool = True
+) -> optax.GradientTransformation:
+    """``memo=False`` opts out of the process-level cache — required when module
+    globals the update rule closes over are monkeypatched (tools/exp_r4.py A/Bs)."""
+    if memo:
+        key = (_program_key(cfg), steps_per_epoch)
+        if key in _OPT_CACHE:
+            return _OPT_CACHE[key]
+
     main_sched = build_schedule(cfg, cfg.lr, steps_per_epoch)
     backbone_sched = build_schedule(cfg, cfg.lr_backbone, steps_per_epoch)
 
@@ -156,12 +200,20 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
     if cfg.clip_max_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.clip_max_norm))
     chain.append(tx)
-    return optax.chain(*chain)
+    out = optax.chain(*chain)
+    if memo:
+        _OPT_CACHE[key] = out
+    return out
 
 
 def create_train_state(cfg: Config, key=None, steps_per_epoch: int = 1000, params=None) -> Tuple[TrainState, optax.GradientTransformation]:
     if params is None:
         params, _ = caption.build_model(cfg, key)
+    # Commit params to the default device: checkpoint-restored arrays come back
+    # committed, and jit keys executables on arg placement — leaving fresh inits
+    # uncommitted makes every post-restore program (train step, greedy eval) a
+    # cache MISS on resume. Same device either way; only the key is normalized.
+    params = jax.tree.map(lambda x: jax.device_put(x, jax.devices()[0]), params)
     tx = make_optimizer(cfg, steps_per_epoch)
     opt_state = tx.init(params)
     return TrainState(params, opt_state, jnp.int32(0)), tx
@@ -228,6 +280,7 @@ def make_train_step(
     compute_dtype=None,
     donate: bool = True,
     accum_steps: Optional[int] = None,
+    memo: bool = True,
 ) -> Callable:
     """Build the jit-compiled training step: grads -> clip -> AdamW -> apply.
 
@@ -246,6 +299,16 @@ def make_train_step(
         compute_dtype = jnp.dtype(cfg.compute_dtype)
     if accum_steps is None:
         accum_steps = cfg.grad_accum_steps
+
+    # Memoize the jitted step so repeated construction (epoch loops, resume
+    # runs, test suites) reuses the XLA executable — see _program_key. Keying on
+    # id(tx) is safe because the cache holds a strong reference to the cached
+    # tx: while it lives, no distinct live tx can share its id (verified on hit).
+    key = (_program_key(cfg), id(tx), str(compute_dtype), donate, accum_steps, CE_IMPL)
+    if memo:
+        hit = _STEP_CACHE.get(key)
+        if hit is not None and hit[0] is tx:
+            return hit[1]
 
     def update_from(state: TrainState, grads, loss) -> Tuple[TrainState, jax.Array]:
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -289,15 +352,24 @@ def make_train_step(
                 state, jax.tree.map(lambda g: g * inv, g_sum), l_sum * inv
             )
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+    if memo:
+        _STEP_CACHE[key] = (tx, jitted)
+    return jitted
 
 
-def make_eval_step(cfg: Config, *, compute_dtype=None) -> Callable:
+def make_eval_step(cfg: Config, *, compute_dtype=None, memo: bool = True) -> Callable:
     """Validation loss (no grad, no dropout) — engine.evaluate (engine.py:89-114)."""
     if compute_dtype is None:
         compute_dtype = jnp.dtype(cfg.compute_dtype)
+    key = (_program_key(cfg), str(compute_dtype), CE_IMPL)
+    if memo and key in _EVAL_CACHE:
+        return _EVAL_CACHE[key]
 
     def step(params: Params, batch: Batch) -> jax.Array:
         return loss_fn(params, cfg, batch, None, train=False, compute_dtype=compute_dtype)
 
-    return jax.jit(step)
+    jitted = jax.jit(step)
+    if memo:
+        _EVAL_CACHE[key] = jitted
+    return jitted

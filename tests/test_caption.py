@@ -179,6 +179,7 @@ def test_prune_token_ids_matches_reference_semantics():
     assert out_raw == [[101, 5, 6, 102], [101, 7, 7, 7, 7, 7], [101, 102]]
 
 
+@pytest.mark.slow
 def test_sample_greedy_limits_and_validity():
     """temperature=0 and top_k=1 reduce exactly to greedy; stochastic draws stay
     inside the top-k set and are reproducible per PRNG key."""
@@ -420,6 +421,7 @@ def test_greedy_tokens_batch_size_invariant():
     np.testing.assert_array_equal(np.concatenate(halves), full)
 
 
+@pytest.mark.slow
 def test_greedy_padded_rows_epilogue_any_batch():
     """Batches not divisible by 8 ride the fused kernels via padded rows that
     start 'finished' and are sliced off — token buffers identical to the XLA

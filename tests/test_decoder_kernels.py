@@ -1,6 +1,7 @@
 """Fused decode-step kernels vs the XLA path (interpret mode) + e2e equality."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -130,6 +131,7 @@ def test_self_attn_block_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(vc_o), np.asarray(vc2.transpose(1, 0, 3, 2)), atol=3e-6)
 
 
+@pytest.mark.slow
 def test_beam_with_pallas_layout_matches_xla(rng):
     """Beam search with the head-major cache layout (pallas path, interpret mode on
     CPU) must produce the same hypotheses as the XLA path."""

@@ -2,6 +2,7 @@
 captions, full-buffer decode."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,7 @@ def test_ensure_unmasked_deterministic_and_effective():
     assert not np.array_equal(np.asarray(out1[1]), np.asarray(out3[1]))
 
 
+@pytest.mark.slow
 def test_global_variant_whole_image_bbox_no_nan(rng):
     """bbox covering the whole image -> context fully blanked + fully masked; the
     deterministic unmask guard must keep the forward finite (reference hazard:

@@ -46,7 +46,9 @@ def test_train_eval_checkpoint_cycle(env):
     params, _ = caption.build_model(cfg, jax.random.key(0))
     tx = make_optimizer(cfg, steps_per_epoch=len(loader))
     state = TrainState(params, tx.init(params), jnp.int32(0))
-    step = make_train_step(cfg, tx, donate=False)
+    # donate=True matches main()'s production step, so the suite compiles ONE
+    # train-step executable for this config (train.state._program_key memo)
+    step = make_train_step(cfg, tx)
 
     state, loss0 = engine.train_one_epoch(state, step, loader, jax.random.key(1), epoch=0)
     state, loss1 = engine.train_one_epoch(state, step, loader, jax.random.key(1), epoch=1)
@@ -69,7 +71,9 @@ def test_train_eval_checkpoint_cycle(env):
     meta = ckpt.read_metadata(path)
     assert meta["epoch"] == 1 and meta["config"]["hidden_dim"] == 64
 
-    template = TrainState(params, tx.init(params), jnp.int32(0))
+    # template from the LIVE state: the donating step consumed the original
+    # `params` buffers (donate_argnums frees inputs)
+    template = TrainState(state.params, tx.init(state.params), jnp.int32(0))
     restored, meta2 = ckpt.load_checkpoint(path, template)
     np.testing.assert_array_equal(
         np.asarray(restored.params["mlp"]["layers"][0]["w"]),
@@ -157,6 +161,7 @@ def test_override_config_filename_sniffing():
     assert not c3.use_location_features and not c3.use_global_features
 
 
+@pytest.mark.slow
 def test_deterministic_resume(env, tmp_path):
     """Step-exact resume: save mid-training, continue, and the continued losses are
     bit-identical to an uninterrupted run (deterministic recovery, SURVEY.md §5)."""

@@ -18,9 +18,12 @@ def env(tmp_path_factory):
     tok, _, _ = prepare_tokenizer()
     cfg = Config(
         dir=coco_dir, ref_dir=ref_dir, verbose=False,
+        # shapes/arch match tests/test_engine_e2e.py's env (and test_train's
+        # tiny_cfg) so the memoized train/eval steps and the decode programs
+        # compile once per suite run (train.state._program_key)
         backbone="ResNet18", dilation=False, hidden_dim=64, nheads=4, enc_layers=1,
         dec_layers=1, dim_feedforward=128, vocab_size=tok.vocab_size,
-        max_position_embeddings=12, dropout=0.1, image_size=48, batch_size=2,
+        max_position_embeddings=16, dropout=0.1, image_size=64, batch_size=2,
         num_workers=2, epochs=2, early_stopping=False,
         project_data_path=str(root / "data"),
         # exercise the background checkpoint writer end-to-end: the resume and
@@ -95,6 +98,7 @@ def test_eval_cli_on_trained_checkpoint(env, tmp_path):
     assert metrics3["CIDEr"] == pytest.approx(metrics["CIDEr"])
 
 
+@pytest.mark.slow
 def test_main_training_loop_multichip(tmp_path):
     """Full main() epoch loop on a dp=2 x mp=2 mesh (4 of the 8 virtual devices):
     params sharded, batches dp-sharded, CIDEr eval through the sharded sweep."""
@@ -119,6 +123,7 @@ def test_main_training_loop_multichip(tmp_path):
     assert any("checkpoint_0" in n for n in os.listdir(cfg.checkpoint_path))
 
 
+@pytest.mark.slow
 def test_checkpoint_restores_across_mesh_shapes(tmp_path):
     """A checkpoint saved with mp=2-sharded params restores into a different mesh
     (dp=8, mp=1 replicated template) with identical values, and a train step runs

@@ -1,6 +1,7 @@
 """Predictor API + refcocog annotation naming."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -146,6 +147,7 @@ def test_refcocog_refs_filename(tmp_path):
     assert ids["caption_ids"]["train"] == [0]
 
 
+@pytest.mark.slow
 def test_predict_with_attention(rng):
     pred = tiny_predictor()
     img = rng.integers(0, 256, (90, 100, 3), dtype=np.uint8)

@@ -1,6 +1,7 @@
 """dp-sharded eval sweep on the virtual 8-device CPU mesh + decode helpers."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -151,6 +152,7 @@ def test_sweep_cli_end_to_end(tmp_path):
     assert all(isinstance(h, str) for h in gens["refcoco/train"])
 
 
+@pytest.mark.slow
 def test_greedy_under_tensor_parallel_mesh(tmp_path):
     """Greedy decode with mp-sharded params (vocab head + FFN + attention heads split
     over the mp axis) must equal the replicated run — the XLA partitioner inserts the
@@ -170,6 +172,7 @@ def test_greedy_under_tensor_parallel_mesh(tmp_path):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow
 def test_sharded_beam_and_sample_match_single_device(tmp_path):
     """decoder='beam' and 'sample' through the dp-sharded sweep produce exactly the
     single-device engine's hypotheses (beam tiles the sharded batch to B*K rows;
@@ -191,6 +194,7 @@ def test_sharded_beam_and_sample_match_single_device(tmp_path):
         assert [h["expression"] for h in ref_hyps] == got_hyps, decoder
 
 
+@pytest.mark.slow
 def test_evaluate_mesh_matches_single_device(tmp_path):
     """engine.evaluate with a dp mesh returns the same validation loss as the
     unsharded path (including a ragged trailing batch, which is replicated)."""

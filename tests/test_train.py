@@ -11,17 +11,25 @@ from retr_tpu.parallel import mesh as pmesh
 from retr_tpu.train import state as tstate
 
 
+def _tok_vocab():
+    from retr_tpu.data.tokenizer import prepare_tokenizer
+
+    return prepare_tokenizer()[0].vocab_size
+
+
 def tiny_cfg(**kw):
+    # shapes/arch match the engine_e2e / main_cli env fixtures so the memoized
+    # train/eval steps (train.state._program_key) compile once per suite run
     base = dict(
         backbone="ResNet18", dilation=False, hidden_dim=64, nheads=4, enc_layers=1,
-        dec_layers=1, dim_feedforward=128, vocab_size=64, max_position_embeddings=10,
-        dropout=0.1, image_size=32, clip_max_norm=0.1,
+        dec_layers=1, dim_feedforward=128, vocab_size=_tok_vocab(),
+        max_position_embeddings=16, dropout=0.1, image_size=64, clip_max_norm=0.1,
     )
     base.update(kw)
     return Config(**base)
 
 
-def synth_batch(cfg, b=4, seed=0):
+def synth_batch(cfg, b=2, seed=0):
     rng = np.random.default_rng(seed)
     t = cfg.max_position_embeddings + 1
     caps = rng.integers(3, cfg.vocab_size, (b, t)).astype(np.int32)
@@ -84,11 +92,14 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def cached_step(cfg, steps_per_epoch=100):
+def cached_step(cfg, steps_per_epoch=2):
     """One jit-compiled train step per config — XLA compile dominates test wall-clock
-    on this 1-core host, so tests share the compiled executable."""
+    on this 1-core host, so tests share the compiled executable. donate=True and
+    steps_per_epoch=2 match what main()/the e2e cycle build on the 4-image fixture
+    (len(train loader) = 2 at batch 2; schedule constants bake steps_per_epoch into
+    the program), so the whole suite compiles ONE flagship-tiny train step."""
     tx = tstate.make_optimizer(cfg, steps_per_epoch)
-    return tx, tstate.make_train_step(cfg, tx, donate=False)
+    return tx, tstate.make_train_step(cfg, tx)
 
 
 def test_train_smoke_loss_decreases():
@@ -111,15 +122,21 @@ def test_pad_row_gradient_is_zero():
     tx, step = cached_step(cfg)
     params0, _ = __import__("retr_tpu.models.caption", fromlist=["x"]).build_model(cfg, jax.random.key(1))
     state = tstate.TrainState(params0, tx.init(params0), jnp.int32(0))
-    before = np.asarray(state.params["transformer"]["embeddings"]["word"]["table"][cfg.pad_token_id])
-    state, _ = step(state, synth_batch(cfg), jax.random.key(0))
+    table0 = np.asarray(state.params["transformer"]["embeddings"]["word"]["table"])
+    before = table0[cfg.pad_token_id].copy()
+    row5_before = table0[5].copy()  # snapshot: the donating step frees the inputs
+    batch = synth_batch(cfg)
+    # make sure token 5 occurs (as input AND target) so its row provably moves
+    batch = batch._replace(caps=batch.caps.at[:, 1].set(5))
+    state, _ = step(state, batch, jax.random.key(0))
     after = np.asarray(state.params["transformer"]["embeddings"]["word"]["table"][cfg.pad_token_id])
     np.testing.assert_array_equal(before, after)
     # a non-pad row does move
     moved = np.asarray(state.params["transformer"]["embeddings"]["word"]["table"][5])
-    assert not np.allclose(moved, np.asarray(params0["transformer"]["embeddings"]["word"]["table"][5]))
+    assert not np.allclose(moved, row5_before)
 
 
+@pytest.mark.slow
 def test_frozen_prefix_backward_is_pruned():
     """train=True stops gradients at the layer1 output (reference backbone.py:58-60
     freezes conv1/bn1/layer1; torch autograd prunes that backward subgraph — so do
@@ -161,10 +178,13 @@ def test_frozen_prefix_backward_is_pruned():
     assert checked > 10
 
 
+@pytest.mark.slow
 def test_dp_mp_sharded_train_step():
     """Full train step under a (dp=4, mp=2) mesh on the 8 virtual CPU devices."""
     assert len(jax.devices()) == 8
-    cfg = tiny_cfg()
+    # even vocab: the tokenizer-derived one (341) is odd, and shard_params
+    # replicates any head whose vocab dim doesn't divide over mp
+    cfg = tiny_cfg(vocab_size=64)
     mesh = pmesh.make_mesh(dp=4, mp=2)
     tx, step = cached_step(cfg)
     params0, _ = __import__("retr_tpu.models.caption", fromlist=["x"]).build_model(cfg, jax.random.key(0))
@@ -210,6 +230,7 @@ def test_nonfinite_loss_detection():
         engine.device_batch = orig
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_full_batch():
     """accum_steps=2 produces the same loss and post-step params as the one-shot
     step (loss is a mean over rows, so averaged micro-grads == full-batch grads;
@@ -269,6 +290,7 @@ def test_build_schedule_warmup_and_cosine():
     assert float(s0(0)) == pytest.approx(1e-4)
 
 
+@pytest.mark.slow
 def test_cosine_warmup_train_step_runs():
     cfg = tiny_cfg(lr_schedule="cosine", warmup_steps=2)
     tx, step = cached_step(cfg)

@@ -359,9 +359,10 @@ def frozen_prefix_ab(reps: int = 4, rounds: int = 3, batches=(32, 128)):
         steps, states, losses = {}, {}, {}
         for name in ("pruned", "full"):
             patch(name)
-            tx = tstate.make_optimizer(cfg, 100)
-            # donate=False: variants share the initial params tree
-            steps[name] = tstate.make_train_step(cfg, tx, donate=False)
+            # memo=False: this A/B monkeypatches tstate/resnet internals, so the
+            # process-level step/optimizer caches must not serve stale programs
+            tx = tstate.make_optimizer(cfg, 100, memo=False)
+            steps[name] = tstate.make_train_step(cfg, tx, donate=False, memo=False)
             states[name] = tstate.TrainState(params, tx.init(params), jnp.int32(0))
             states[name], l0 = steps[name](states[name], tbatch, key)  # traces here
             losses[name] = float(l0)
