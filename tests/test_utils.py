@@ -85,3 +85,29 @@ def test_pack_encoder_inputs_matrix(rng=None):
     assert g is None and l.shape == (2, 5)
     s, g, l = pack_encoder_inputs((img, mask, img, mask, loc), True, True)
     assert g is not None and l is not None
+
+
+def test_time_chained_counts_applications():
+    """The differential fori-chain must actually run fn k times serially: the
+    measured per-application time of a fixed-cost body must be positive, and
+    chain_apply must not let XLA DCE the body (the scalar tap reads every leaf).
+    """
+    import jax.numpy as jnp
+
+    from retr_tpu.utils.timing import chain_apply, time_chained
+
+    calls = {"n": 0}
+
+    def fn(x):
+        calls["n"] += 1  # traced once only
+        return (x @ x) * 1e-3
+
+    x = jnp.eye(64)
+    t = time_chained(fn, x, k=4, rounds=2)
+    assert t > 0
+    assert calls["n"] == 1  # one trace serves every chain depth
+
+    # pytree outputs: every leaf is tapped (a dict output must work)
+    run = chain_apply(lambda x: {"a": x.sum(), "b": x * 2.0})
+    out = run(x, jnp.int32(3))
+    assert jnp.isfinite(out)

@@ -9,8 +9,8 @@ Three modes; outputs combine into docs/ROOFLINE.md:
                     the param/cache pytrees (weights read once + caches read
                     once + activations ignored). Writes /tmp/roofline_analytic.json.
   --mode measure    (TPU) measures encode-only and full-greedy wall time at the
-                    flagship config (chained dispatches, host-fetch barrier,
-                    median of rounds — the bench.py protocol) and the train
+                    flagship config (differential fori-chain, single scalar
+                    fetch — retr_tpu.utils.timing) and the train
                     step; derives per-decode-step ms. Writes /tmp/roofline_measured.json.
   --mode report     combines the two JSONs with the chip peaks into
                     docs/ROOFLINE.md.
@@ -152,30 +152,28 @@ def measure(batch: int, reps: int, rounds: int):
     img = jnp.asarray(rng.normal(size=(batch, 3, IMAGE, IMAGE)), jnp.float32)
     samples = Masked(img, jnp.zeros((batch, IMAGE, IMAGE), dtype=bool))
 
-    def timed(fn, fetch):
-        fetch(fn())  # compile + warmup; only a host fetch is a real barrier
-        dts = []
-        for _ in range(rounds):
-            t0 = time.perf_counter()
-            outs = [fn() for _ in range(reps)]
-            for o in outs:
-                fetch(o)
-            dts.append((time.perf_counter() - t0) / reps)
-        return float(np.median(dts))
+    # Differential fori-chain protocol (retr_tpu.utils.timing): the function
+    # under test runs k and 2k times serially inside one jitted loop with all
+    # big inputs closure-captured and ONE scalar fetch; (T(2k)-T(k))/k cancels
+    # the tunnel round trip AND the ~20 ms/call large-argument dispatch block.
+    # The previous per-dispatch protocol overstated encode by ~6-14 ms of pure
+    # transport (measured 2026-08-18: encode 26.9 ms per-dispatch vs 20.4 ms
+    # chained; backbone sections sum to the chained number).
+    from retr_tpu.utils.timing import time_chained
 
-    # scalar output: fetching the [B,S,C] memory over the tunnel costs ~0.5 s and
-    # would swamp the compute time (docs/ROADMAP.md gotchas) — sum on device.
-    enc = jax.jit(
-        lambda p, s: caption.encode(p, cfg, s, compute_dtype=cdt)[0].sum()
-    )
-    t_enc = timed(lambda: enc(params, samples), lambda o: np.asarray(o))
+    t_enc = time_chained(
+        lambda s: caption.encode(params, cfg, s, compute_dtype=cdt)[0],
+        samples, k=4 * reps, rounds=rounds)
 
     gkw = dict(max_len=MAX_LEN, bos_token=101, eos_token=cfg.vocab_size + 1,
                compute_dtype=cdt)
-    t_full = timed(lambda: decode.greedy(params, cfg, samples, **gkw),
-                   lambda o: np.asarray(o))
+    t_full = time_chained(
+        lambda s: decode.greedy(params, cfg, s, **gkw).astype(jnp.float32),
+        samples, k=max(2, reps // 2), rounds=rounds)
 
-    # train step at the same batch
+    # train step at the same batch: the DONATING step (as main.py runs it),
+    # state threaded through the chain's loop carry (while-loop carries alias
+    # in place — donation semantics), batch/key closure-captured.
     t_cap = cfg.max_position_embeddings + 1
     tbatch = tstate.Batch(
         images=img,
@@ -185,14 +183,14 @@ def measure(batch: int, reps: int, rounds: int):
     )
     tx = tstate.make_optimizer(cfg, steps_per_epoch=1000)
     st = tstate.TrainState(params, tx.init(params), jnp.int32(0))
-    step_d = tstate.make_train_step(cfg, tx, donate=False)
+    step_d = tstate.make_train_step(cfg, tx, donate=False, memo=False)
     key = jax.random.key(0)
 
-    def train_once():
-        _, loss = step_d(st, tbatch, key)
-        return loss
+    def train_once(state):
+        s2, _ = step_d(state, tbatch, key)
+        return s2
 
-    t_train = timed(train_once, lambda o: np.asarray(o))
+    t_train = time_chained(train_once, st, k=max(2, reps), rounds=rounds)
 
     out = {
         "batch": batch,
@@ -248,10 +246,14 @@ def report(peak_flops: float, peak_bw: float):
         "FLOPs are XLA's own cost model on the exact compiled programs "
         "(`compiled.cost_analysis()`, XLA path). The decode step's byte floor is "
         "analytic: decoder+head weights + self KV caches + cross K/V read once per "
-        "step; activations assumed VMEM-resident. Measured times use the bench.py "
-        "protocol (chained dispatches, host-fetch barrier, median of rounds) on the "
-        "tunneled chip — they include per-program dispatch cost, which on this rig "
-        "is part of the honest number.",
+        "step; activations assumed VMEM-resident. Measured times use the "
+        "differential fori-chain protocol (`retr_tpu.utils.timing`): the program "
+        "runs k and 2k times serially on-device inside one jitted loop and "
+        "(T(2k)-T(k))/k is reported, so the tunnel round trip and per-dispatch "
+        "transport cost cancel — these are true device times. (Rounds 1-3 used a "
+        "per-dispatch protocol that baked ~6-14 ms of transport into encode/train "
+        "rows; the bench.py end-to-end rows still include transport deliberately, "
+        "since a user pays it.)",
         "",
         "| path | measured | speed-of-light | % of SoL | bound by | GFLOP | HBM MB |",
         "|---|---|---|---|---|---|---|",
@@ -337,6 +339,25 @@ def report(peak_flops: float, peak_bw: float):
             "working sets of ~KB against a 900 MHz core), which is exactly why "
             "throughput comes from batch width (flat ~624 captions/s at "
             "256–768), not from further launch surgery.",
+            "",
+        ]
+    es_path = os.path.join(REPO, "docs", "ENCODE_SECTIONS.json")
+    if os.path.exists(es_path):
+        es = json.load(open(es_path))["encode_sections"]
+        keys = ["stem+pool", "layer1", "layer2", "layer3", "layer4",
+                "backbone_total", "encoder_only", "full_encode"]
+        lines += [
+            "## Where the encode time goes (per-section, true device time)",
+            "",
+            f"Batch {es.get('batch', 128)}, bfloat16, differential fori-chain "
+            "protocol (tools/exp_encode.py --mode sections; "
+            f"measured {es.get('measured_at', '').split('(')[0].strip()}):",
+            "",
+            "| section | ms |",
+            "|---|---|",
+            *[f"| {k} | {es[k]} |" for k in keys if k in es],
+            "",
+            f"{es.get('note', '')}",
             "",
         ]
     lines += [
