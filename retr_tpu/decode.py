@@ -87,6 +87,30 @@ def _initial_finished(b_real: int, pad: int) -> jax.Array:
     return jnp.arange(b_real + pad) >= b_real
 
 
+def _cast_for_decode(params: Params, memory, pos, compute_dtype):
+    """Storage dtype for the decode loop: in throughput (bf16) mode the decoder
+    weights, head, encoder memory — and therefore the cross K/V and self KV
+    caches allocated from them — all live in ``compute_dtype``.
+
+    The decode step is HBM-bandwidth-bound (docs/ROOFLINE.md): its bytes are the
+    per-step streams of cross K/V, self caches, and head weights. Before round 4
+    "bf16 mode" only lowered matmul *precision*; the loop's storage stayed f32
+    (params were never cast, so every linear promoted), which doubled every one
+    of those streams. Casting once here — outside the while_loop, on its
+    loop-invariant operands — halves per-step traffic. f32 parity mode returns
+    everything untouched. LayerNorm/softmax/logit-max still compute in f32
+    inside the kernels and layers (see ops/decoder_kernels._ln, layers.layer_norm).
+    """
+    if jnp.dtype(compute_dtype) == jnp.float32:
+        return params, memory, pos
+    cast = lambda tree: jax.tree.map(
+        lambda a: a.astype(compute_dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+    params = {**params, "transformer": cast(params["transformer"]),
+              "mlp": cast(params["mlp"])}
+    return params, memory.astype(compute_dtype), pos.astype(compute_dtype)
+
+
 def greedy_from_memory(
     params: Params,
     cfg: Config,
@@ -165,6 +189,7 @@ def greedy(
         params, cfg, samples, global_samples=global_samples, loc_feats=loc_feats,
         compute_dtype=compute_dtype,
     )
+    params, memory, pos = _cast_for_decode(params, memory, pos, compute_dtype)
     return greedy_from_memory(
         params, cfg, memory, mem_mask, pos,
         max_len=max_len, bos_token=bos_token, eos_token=eos_token,
@@ -205,6 +230,7 @@ def greedy_with_prefix(
         params, cfg, samples, global_samples=global_samples, loc_feats=loc_feats,
         compute_dtype=compute_dtype,
     )
+    params, memory, pos = _cast_for_decode(params, memory, pos, compute_dtype)
     b_real = memory.shape[0]
     pad = _kernel_row_padding(cfg, b_real)
     memory, mem_mask = _pad_rows(memory, mem_mask, pad)
@@ -291,6 +317,7 @@ def sample(
         params, cfg, samples, global_samples=global_samples, loc_feats=loc_feats,
         compute_dtype=compute_dtype,
     )
+    params, memory, pos = _cast_for_decode(params, memory, pos, compute_dtype)
     b_real = memory.shape[0]
     pad = _kernel_row_padding(cfg, b_real)
     memory, mem_mask = _pad_rows(memory, mem_mask, pad)
@@ -561,6 +588,7 @@ def beam_search(
         params, cfg, samples, global_samples=global_samples, loc_feats=loc_feats,
         compute_dtype=compute_dtype,
     )
+    params, memory, pos = _cast_for_decode(params, memory, pos, compute_dtype)
     return beam_search_from_memory(
         params, cfg, memory, mem_mask, pos,
         max_len=max_len, bos_token=bos_token, eos_token=eos_token,

@@ -52,9 +52,19 @@ def _ln(x, scale, bias, eps=1e-5):
 
 
 def _dot(a, b):
+    # Activations meet the weight dtype at the MXU: in true-bf16 decode the f32
+    # LayerNorm/softmax intermediates round to bf16 here (standard mixed
+    # precision; accumulation stays f32 via preferred_element_type), and in f32
+    # parity mode the astype is a no-op, so parity numerics are untouched.
+    # Mixed f32xbf16 operands are also a Mosaic compile error ("Bad rhs type").
+    # Precision: HIGHEST = the f32 parity discipline; for bf16 operands a single
+    # MXU pass with the f32 accumulator is already the exact product, and Mosaic
+    # rejects contract_precision=fp32 on bf16 vectors ("Bad lhs type").
+    prec = (jax.lax.Precision.HIGHEST if b.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        a.astype(b.dtype), b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
     )
 
 

@@ -340,3 +340,84 @@ def test_fused_stack_step_matches_xla_path():
         dk.LAYER_GRID = False
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
     np.testing.assert_allclose(np.asarray(got_split), np.asarray(ref), atol=3e-5)
+
+
+def test_bf16_decode_storage_and_parity():
+    """True-bf16 decode (round 4): _cast_for_decode moves the decode loop's
+    weights/memory/caches to bf16 (the step is bandwidth-bound, docs/ROOFLINE.md),
+    while f32 parity mode must pass through untouched. The fused-kernel path and
+    the XLA fallback must produce identical tokens in bf16."""
+    from retr_tpu import decode
+    from retr_tpu.models import layers
+
+    cfg_x = Config(
+        backbone="ResNet18", dilation=False, hidden_dim=64, nheads=4, enc_layers=1,
+        dec_layers=2, dim_feedforward=128, vocab_size=96, max_position_embeddings=12,
+        dropout=0.0, image_size=32, use_pallas_decode=False,
+    )
+    cfg_p = cfg_x.replace(use_pallas_decode=True)
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.key(0), 5)
+    params = {
+        "transformer": transformer.init(k1, cfg_x),
+        "mlp": {"layers": [
+            layers.torch_linear_init(k2, cfg_x.hidden_dim, 32),
+            layers.torch_linear_init(k3, 32, 32),
+            layers.torch_linear_init(k4, 32, cfg_x.vocab_size),
+        ]},
+    }
+    b, s = 8, 7
+    memory = jax.random.normal(k5, (b, s, cfg_x.hidden_dim))
+    mask = jnp.zeros((b, s), bool)
+    pos = jax.random.normal(jax.random.key(6), (s, cfg_x.hidden_dim))
+
+    # f32 passthrough: identical objects, no copies
+    p32, m32, q32 = decode._cast_for_decode(params, memory, pos, jnp.float32)
+    assert p32["transformer"] is params["transformer"] and m32 is memory
+
+    p16, m16, q16 = decode._cast_for_decode(params, memory, pos, jnp.bfloat16)
+    assert m16.dtype == jnp.bfloat16
+    assert p16["mlp"]["layers"][0]["w"].dtype == jnp.bfloat16
+
+    kw = dict(max_len=10, bos_token=2, eos_token=97)  # eos outside vocab: no early stop
+
+    def run(cfg, interpret):
+        dk.FORCE_INTERPRET = interpret
+        try:
+            # caches must inherit the bf16 storage dtype
+            cache, _ = transformer.init_decode_state(
+                p16["transformer"], m16, mask, q16, cfg, kw["max_len"])
+            assert cache.self_k[0].dtype == jnp.bfloat16
+            return np.asarray(decode.greedy_from_memory(p16, cfg, m16, mask, q16, **kw))
+        finally:
+            dk.FORCE_INTERPRET = False
+
+    ids_xla = run(cfg_x, False)
+    ids_pal = run(cfg_p, True)
+    assert ids_xla.shape == (b, kw["max_len"])
+    # the two bf16 implementations round at different points (the kernels keep
+    # LN/softmax in f32 and round activations at each dot; XLA keeps bf16
+    # throughout), so argmax over near-uniform random-weight logits may flip —
+    # require strong agreement, not bit equality (trained-model flip rates are
+    # gated on-chip by tools/ab_bf16.py -> docs/AB_BF16.json)
+    assert (ids_pal == ids_xla).mean() > 0.7
+
+    # the per-step hidden states themselves must agree to bf16 resolution
+    # (FORCE_INTERPRET before init: the cache LAYOUT is chosen at init time by
+    # whether the kernels will actually run, transformer._pallas_runtime_active)
+    tok = jnp.full((b,), 5, jnp.int32)
+    hx = hp = None
+    dk.FORCE_INTERPRET = True
+    try:
+        cache_x, cross_x = transformer.init_decode_state(
+            p16["transformer"], m16, mask, q16, cfg_x, kw["max_len"])
+        cache_p, cross_p = transformer.init_decode_state(
+            p16["transformer"], m16, mask, q16, cfg_p, kw["max_len"])
+        for i in range(3):
+            hx, cache_x = transformer.decode_step(
+                p16["transformer"], cache_x, cross_x, tok, jnp.int32(i), cfg_x)
+            hp, cache_p = transformer.decode_step(
+                p16["transformer"], cache_p, cross_p, tok, jnp.int32(i), cfg_p)
+    finally:
+        dk.FORCE_INTERPRET = False
+    np.testing.assert_allclose(
+        np.asarray(hp, np.float32), np.asarray(hx, np.float32), atol=0.1, rtol=0.05)

@@ -217,6 +217,7 @@ def nhwc_backbone(bb_hwio, x_nhwc, name, dilation, dtype):
     from retr_tpu.precision import matmul_precision
 
     _, plan = resnet.resnet_structure(name, dilation)
+    bb_hwio = jax.tree.map(lambda a: a.astype(dtype), bb_hwio)
     with matmul_precision(dtype):
         x = x_nhwc.astype(dtype)
         x = jax.nn.relu(_bn_nhwc(bb_hwio["bn1"],
