@@ -6,7 +6,14 @@ overhead, which is independent of the batch dimension — so captions/s rises
 with batch until bytes/FLOPs take over. Batch 128 is the current headline
 (BENCH_DETAILS.json config 7). This probe measures 128/192/256/384 under the
 same protocol as bench.py (EOS unreachable -> full 127 steps; 5 batches in
-flight; median of 3 rounds) and checks token invariance vs batch 128.
+flight; median of 3 rounds) and checks token invariance vs the first batch.
+
+Invariance caveat (measured, docs/PERF.md r4): with bf16 compute the RANDOM
+weights used here flip ~2.8% of positions across batch sizes — argmax near-ties
+(f32 top-2 margins ~1e-3) resolved differently across batch-dependent XLA
+tilings once the memory is bf16-rounded. tools/exp_inv_flips.py is the
+diagnostic; f32 mode and trained checkpoints are exactly batch-invariant, so a
+`false` here on random weights is expected in bf16, not a bug signal.
 
 Run on an idle host (no concurrent pytest).
 """
