@@ -2,13 +2,14 @@
 
 Measures batched greedy over RefCOCO-val-shaped inputs with static padding on the
 real TPU chip, against the measured PyTorch CPU reference denominator (BASELINE.md:
-"baseline numbers must be measured, not quoted"). The HEADLINE row is batch 256 —
-the saturation point of the measured batch-scaling curve (tools/exp_batch_scale.py:
-256 = +6% over 128; after the r4 batch-blocked ff_block lifted the old VMEM
-ceiling, 384/512/768 measure flat within +0.9% — docs/PERF.md r4; decode
-tokens are batch-size-invariant, tested at tests/test_caption.py) and the sweep
-CLI's default eval batch. Batch-128 (round-2 headline) and batch-32 (reference
-config, BASELINE.md config 2) rows are reported alongside for continuity.
+"baseline numbers must be measured, not quoted"). The HEADLINE row is batch 512 —
+the plateau of the batch-scaling curve re-measured at the r4 true-bf16 decode
+loop (tools/exp_batch_scale.py: 912/932/935/929 captions/s at 256/384/512/768;
+512 is a consistent +2.5% over 256 across runs, 640/768 are flat within noise —
+docs/PERF.md r4; trained-checkpoint decode tokens are batch-size-invariant,
+tools/exp_inv_flips.py). Batch-256 (round-3 headline), batch-128 (round-2) and
+batch-32 (reference config, BASELINE.md config 2) rows are reported alongside
+for continuity.
 
 Both sides decode the full 127 steps (EOS set unreachable) so the comparison is
 step-for-step fair:
@@ -36,7 +37,8 @@ CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 BATCH = 32             # reference config batch (denominator + continuity row)
 MID_BATCH = 128        # round-2 headline batch (continuity row)
-HEADLINE_BATCH = 256   # saturation point; curve measured flat to 768 (PERF.md r4)
+PREV_BATCH = 256       # round-3 headline batch (continuity row)
+HEADLINE_BATCH = 512   # curve plateau at the r4 true-bf16 decode loop (PERF.md r4)
 MAX_LEN = 128          # config.max_position_embeddings — engine.py:161 decodes at 128
 DECODE_STEPS = MAX_LEN - 1
 IMAGE = 224
@@ -153,7 +155,7 @@ def measure_tpu(batch: int = BATCH, params=None) -> dict:
     }
 
 
-METRIC = "refcoco-val batched greedy (batch 256, 127 steps): expressions/sec/chip"
+METRIC = "refcoco-val batched greedy (batch 512, 127 steps): expressions/sec/chip"
 
 
 def wait_for_tpu(budget_s: float | None = None, probe_timeout: int = 60,
@@ -204,6 +206,7 @@ def _last_good() -> dict:
         with open(os.path.join(REPO, "BENCH_DETAILS.json")) as f:
             d = json.load(f)
         lg = {
+            "batch512_captions_per_sec": d.get("11_batch512_greedy", {}).get("captions_per_sec"),
             "batch256_captions_per_sec": d.get("10_batch256_greedy", {}).get("captions_per_sec"),
             "batch128_captions_per_sec": d.get("7_batch128_greedy", {}).get("captions_per_sec"),
             "batch32_captions_per_sec": d.get("2_batch32_greedy", {}).get("captions_per_sec"),
@@ -239,16 +242,18 @@ def main():
     from retr_tpu.models import caption
 
     params, _ = caption.build_model(flagship_cfg(), jax.random.key(0))
-    tpu256 = measure_tpu(HEADLINE_BATCH, params=params)
-    tpu128 = measure_tpu(MID_BATCH, params=params)
+    # three compiled batch shapes (compiles through the remote service are the
+    # wall-clock cost here — the 128 continuity row lives in BENCH_DETAILS.json)
+    tpu512 = measure_tpu(HEADLINE_BATCH, params=params)
+    tpu256 = measure_tpu(PREV_BATCH, params=params)
     tpu32 = measure_tpu(BATCH, params=params)
     out = {
         "metric": METRIC,
-        "value": round(tpu256["captions_per_sec"], 3),
+        "value": round(tpu512["captions_per_sec"], 3),
         "unit": "captions/s",
-        "vs_baseline": round(tpu256["captions_per_sec"] / baseline, 2),
-        "batch128_captions_per_sec": round(tpu128["captions_per_sec"], 3),
-        "batch128_vs_baseline": round(tpu128["captions_per_sec"] / baseline, 2),
+        "vs_baseline": round(tpu512["captions_per_sec"] / baseline, 2),
+        "batch256_captions_per_sec": round(tpu256["captions_per_sec"], 3),
+        "batch256_vs_baseline": round(tpu256["captions_per_sec"] / baseline, 2),
         "batch32_captions_per_sec": round(tpu32["captions_per_sec"], 3),
         "batch32_vs_baseline": round(tpu32["captions_per_sec"] / baseline, 2),
     }

@@ -147,9 +147,9 @@ def main():
         "captions_per_sec": 128 / t,
     }
 
-    # 10 (extra): batch-256 greedy — the round-3 batch-scaling saturation point
-    # (tools/exp_batch_scale.py: 320 plateaued; 384 blew the UNBLOCKED ff-block's
-    # VMEM budget); headline row of bench.py.
+    # 10 (extra): batch-256 greedy — the round-3 headline (continuity row; the
+    # r4 true-bf16 decode loop moved the curve plateau to 512, now bench.py's
+    # headline).
     s256 = samples_of(256)
     t = _timed(lambda: decode.greedy(params, cfg, s256, **kwargs))
     results["10_batch256_greedy"] = {
