@@ -107,11 +107,14 @@ def main():
     from retr_tpu.train import state as tstate
 
     tx = tstate.make_optimizer(cfg, steps_per_epoch=1000)
-    state = tstate.TrainState(params, tx.init(params), jax.numpy.int32(0))
     # the DONATING step, exactly as main.py runs it — donate=False measures a
     # step that copies the whole opt state and reads ~28% slower (r4 measured
     # 90 ms vs 65 ms at batch 32); thread the state through chained steps and
-    # fetch one loss at the end (the only real barrier through the tunnel)
+    # fetch one loss at the end (the only real barrier through the tunnel).
+    # The donated state gets its OWN params copy: donation frees the input
+    # buffers, and sections 7/10/11 below still decode with `params`.
+    params_t = jax.tree.map(jnp.copy, params)
+    state = tstate.TrainState(params_t, tx.init(params_t), jax.numpy.int32(0))
     step = tstate.make_train_step(cfg, tx)
     t_cap = cfg.max_position_embeddings + 1
     caps = jnp.asarray(rng.integers(1, cfg.vocab_size, (BATCH, t_cap)), jnp.int32)

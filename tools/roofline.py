@@ -287,10 +287,10 @@ def report(peak_flops: float, peak_bw: float):
         "path; 3 Pallas programs + glue on the fused path) multiplied by a serial",
         "6-layer × 127-step dependency chain, plus while-loop bookkeeping — all",
         "independent of batch width. That is exactly why throughput scales with batch",
-        "until VMEM saturation (measured curve: tools/exp_batch_scale.py; batch-256",
-        "claim: docs/PERF.md): wider batches amortize the fixed cost per caption. The",
-        "structural fix at production scale is batching, which the serving queue",
-        "(predictor.py) and the batch-256 eval default already do.",
+        "until VMEM saturation (measured curve: tools/exp_batch_scale.py; batch-512",
+        "headline: docs/PERF.md r4): wider batches amortize the fixed cost per",
+        "caption. The structural fix at production scale is batching, which the",
+        "serving queue (predictor.py) and the batched eval default already do.",
         "",
         f"**Train step** ({pct['train']} of a compute roofline) and **encode**",
         f"({pct['encode']}): both are dominated by the d=256/14×14 model being small",
@@ -299,6 +299,14 @@ def report(peak_flops: float, peak_bw: float):
         "are model-shape limits, not missing kernels: the same programs reach MXU",
         "saturation as d grows. Training throughput still scales with batch",
         "(BENCH_DETAILS.json raw-step rows) for users who want larger batches.",
+        "",
+        "The two remaining encode hypotheses were measured in round 4 and both are",
+        "neutral (tools/exp_encode.py, details in docs/PERF.md r4): an NHWC/HWIO",
+        "backbone is 0.992× (XLA's layout assignment is already optimal from NCHW",
+        "inputs, bit-exact A/B), and a space-to-depth stem rewrite is 1.009×",
+        "full-backbone (the stem is 7% of the backbone; the underfill lives in every",
+        "small conv, not the input layout). Encode is closed as a structural floor",
+        "at this model size.",
         "",
     ]
     if lf:
@@ -337,8 +345,9 @@ def report(peak_flops: float, peak_bw: float):
             "≈ 0.41 ms/step ≈ the measured 0.44–0.51 ms. At batch 32 the "
             "remaining headroom lives inside kernel occupancy (per-phase "
             "working sets of ~KB against a 900 MHz core), which is exactly why "
-            "throughput comes from batch width (flat ~624 captions/s at "
-            "256–768), not from further launch surgery.",
+            "throughput comes from batch width (the re-based curve plateaus at "
+            "~935 captions/s by batch 512 — docs/PERF.md r4), not from further "
+            "launch surgery.",
             "",
         ]
     es_path = os.path.join(REPO, "docs", "ENCODE_SECTIONS.json")
