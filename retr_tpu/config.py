@@ -193,18 +193,38 @@ class Config:
         return self.feature_hw * self.feature_hw
 
 
-# Fields that can never enter a traced eval/decode program: data locations, loop
-# control, training hyperparameters, and host-side knobs. ``dropout`` is included
-# because every decode/score path runs the model with train=False, where the rate
-# is Python-gated out of the trace (models/layers.py::dropout).
-DECODE_NEUTRAL_FIELDS = (
+# Compile-cache field classification — the ONE place a Config field is labeled.
+# jit keys executables on the static cfg, and this jax build never dedupes
+# identical HLO across cache entries, so both the decode entry points
+# (program_config below) and the train/eval step factories
+# (train/state._program_key) project cfg onto only the fields their traced
+# programs can read. A NEW field is traced-by-default (safe: worst case an
+# extra recompile, never a stale executable); add it to exactly one tuple here
+# to opt it out of the relevant key(s).
+
+# Read by NO traced program: data locations, loop control, host-side knobs.
+HOST_ONLY_FIELDS = (
     "prefix", "dir", "ref_base", "ref_dir", "limit", "project_data_path",
     "checkpoint_path", "checkpoint", "verbose", "num_workers", "early_stopping",
     "batch_size", "device", "start_epoch", "async_checkpoints", "vocab_file",
-    "epochs", "lr", "lr_backbone", "lr_drop", "weight_decay", "clip_max_norm",
-    "lr_schedule", "warmup_steps", "grad_accum_steps", "dp_size", "mp_size",
-    "dropout",
+    "dp_size", "mp_size",
 )
+# Read only by the TRAIN/EVAL step programs (optimizer + schedule knobs).
+TRAIN_ONLY_FIELDS = (
+    "epochs", "lr", "lr_backbone", "lr_drop", "weight_decay", "clip_max_norm",
+    "lr_schedule", "warmup_steps", "grad_accum_steps",
+)
+# Read only by the DECODE programs (search hyperparameters).
+DECODE_ONLY_FIELDS = (
+    "beam_size", "length_penalty", "sample_temperature", "sample_top_k",
+    "sample_top_p",
+)
+
+# Fields that can never enter a traced eval/decode program. ``dropout`` is
+# included because every decode/score path runs the model with train=False,
+# where the rate is Python-gated out of the trace (models/layers.py::dropout);
+# the train step DOES trace it, so it stays out of TRAIN_ONLY_FIELDS.
+DECODE_NEUTRAL_FIELDS = HOST_ONLY_FIELDS + TRAIN_ONLY_FIELDS + ("dropout",)
 
 _FIELD_DEFAULTS = {f.name: f.default for f in dataclasses.fields(Config)}
 

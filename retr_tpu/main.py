@@ -16,6 +16,7 @@ import os
 
 import jax
 
+from retr_tpu import device
 from retr_tpu.config import Config
 from retr_tpu.data import dataset as ds
 from retr_tpu.data.tokenizer import prepare_tokenizer
@@ -78,11 +79,14 @@ def main(config: Config, resume: bool = False, init_pth: str = "") -> None:
     if init_pth:
         # fine-tune from a reference-format .pth (two-way interop:
         # train/checkpoints.import_reference_checkpoint; the reference itself
-        # cannot resume or fine-tune — its start_epoch is dead code)
+        # cannot resume or fine-tune — its start_epoch is dead code).
+        # Commit placement like build_model does for fresh inits, so every
+        # later program hits the jit cache (retr_tpu/device.py).
         params, _ = ckpt.import_reference_checkpoint(init_pth, config)
+        params = device.commit_to_local_device(params)
         logger.log("init_from_pth", path=init_pth)
     else:
-        params, _ = caption.build_model(config, key)
+        params, _ = caption.build_model(config, key)  # commits placement itself
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logger.log("init", n_parameters=int(n_params), config=config.to_dict())
 
@@ -97,11 +101,8 @@ def main(config: Config, resume: bool = False, init_pth: str = "") -> None:
         params = pmesh.shard_params(params, mesh)
         logger.log("mesh", dp=config.dp_size, mp=config.mp_size,
                    devices=len(jax.devices()))
-    else:
-        # Commit to the default device so placement matches checkpoint-restored
-        # arrays — jit keys executables on arg placement, and an uncommitted
-        # fresh init would make every program recompile after --resume.
-        params = jax.tree.map(lambda x: jax.device_put(x, jax.devices()[0]), params)
+    # single-device placement is already committed above (build_model /
+    # the init_pth branch); only the mesh path re-places params.
     validate_multihost_launch(config, jax.process_count(), len(jax.devices()),
                               has_mesh=mesh is not None)
 

@@ -138,6 +138,10 @@ def norm_tokenize(text: str) -> List[str]:
         if esc in text:
             text = text.replace(esc, ch)
     text = _UNICODE_FOLD_RE.sub(lambda m: _UNICODE_FOLD[m.group(0)], text)
+    # mteval-v13a space-wraps before the digit-conditional rules ($norm_text =
+    # " $norm_text ") so '.'/','/'-' at a STRING BOUNDARY still sees a non-digit
+    # neighbor: 'costs 3.50.' must tokenize to [... '3.50', '.'], not '3.50.'.
+    text = f" {text} "
     text = _TOK_PUNCT.sub(r" \1 ", text)
     text = _TOK_PERIOD_PRE.sub(r"\1 \2 ", text)
     text = _TOK_PERIOD_POST.sub(r" \1 \2", text)

@@ -25,6 +25,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from retr_tpu import device
 from retr_tpu.config import Config
 from retr_tpu.masking import Masked, ensure_unmasked_values
 from retr_tpu.models import layers, resnet, transformer
@@ -230,11 +231,9 @@ def build_model(cfg: Config, key=None):
     if key is None:
         key = jax.random.key(cfg.seed)
     params = init(key, cfg)
-    # Commit to the default device: jit keys executables on argument placement,
-    # checkpoint restores come back committed, and a mixed committed/uncommitted
-    # population makes otherwise-identical programs recompile (~10 s on the CPU
-    # test host, minutes through the TPU remote-compile service).
-    params = jax.tree.map(lambda x: jax.device_put(x, jax.devices()[0]), params)
+    # Commit to the default LOCAL device (see retr_tpu/device.py for why, and why
+    # not jax.devices()[0] under multi-host).
+    params = device.commit_to_local_device(params)
 
     def criterion(logits: jax.Array, targets: jax.Array) -> jax.Array:
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

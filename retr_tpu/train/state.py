@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from retr_tpu import config as config_mod
+from retr_tpu import device
 from retr_tpu.config import Config
 from retr_tpu.masking import Masked
 from retr_tpu.models import caption
@@ -147,18 +149,14 @@ def _program_key(cfg: Config) -> tuple:
     jax build (measured: a second ``make_train_step`` with an identical config
     recompiles the full ~23 s program on the CPU test host), and the persistent
     compilation cache deadlocks here (docs/ROADMAP.md gotchas) — so the factories
-    below memoize on this key instead. Paths, loop control, and host-side knobs
-    are excluded so e.g. ``main(resume=...)`` with a different ``epochs`` reuses
-    the already-compiled step; ``epochs`` enters the program only through the
-    cosine schedule's decay length, so it stays in the key for that schedule."""
-    skip = {
-        "prefix", "dir", "ref_base", "ref_dir", "limit", "project_data_path",
-        "checkpoint_path", "checkpoint", "verbose", "num_workers",
-        "early_stopping", "batch_size", "device", "start_epoch",
-        "async_checkpoints", "vocab_file", "beam_size", "length_penalty",
-        "sample_temperature", "sample_top_k", "sample_top_p",
-        "dp_size", "mp_size",
-    }
+    below memoize on this key instead. The skip set is derived from config.py's
+    single field-classification table (HOST_ONLY_FIELDS + DECODE_ONLY_FIELDS):
+    paths, loop control, host-side knobs, and decode-search hyperparameters
+    never enter the train/eval trace, so e.g. ``main(resume=...)`` with a
+    different ``checkpoint_path`` reuses the already-compiled step. ``epochs``
+    enters the program only through the cosine schedule's decay length, so it
+    is skipped for the step schedule but kept for cosine."""
+    skip = set(config_mod.HOST_ONLY_FIELDS) | set(config_mod.DECODE_ONLY_FIELDS)
     if cfg.lr_schedule == "step":
         skip.add("epochs")
     import dataclasses
@@ -208,12 +206,12 @@ def make_optimizer(
 
 def create_train_state(cfg: Config, key=None, steps_per_epoch: int = 1000, params=None) -> Tuple[TrainState, optax.GradientTransformation]:
     if params is None:
+        # build_model already commits fresh inits to the default local device.
         params, _ = caption.build_model(cfg, key)
-    # Commit params to the default device: checkpoint-restored arrays come back
-    # committed, and jit keys executables on arg placement — leaving fresh inits
-    # uncommitted makes every post-restore program (train step, greedy eval) a
-    # cache MISS on resume. Same device either way; only the key is normalized.
-    params = jax.tree.map(lambda x: jax.device_put(x, jax.devices()[0]), params)
+    else:
+        # Caller-supplied params (e.g. .pth import) may be uncommitted; normalize
+        # placement so post-restore programs hit the jit cache (retr_tpu/device.py).
+        params = device.commit_to_local_device(params)
     tx = make_optimizer(cfg, steps_per_epoch)
     opt_state = tx.init(params)
     return TrainState(params, opt_state, jnp.int32(0)), tx

@@ -33,10 +33,23 @@ from typing import Any, Callable
 import numpy as np
 
 
-def chain_apply(fn: Callable[[Any], Any]) -> Callable:
+def chain_apply(fn: Callable[[Any], Any], *, thread: bool = False) -> Callable:
     """Return jitted `run(x, iters)`: apply `fn` to `x` `iters` times serially
     on-device and return a scalar. `iters` is a traced trip count, so one
-    compile serves every chain depth."""
+    compile serves every chain depth.
+
+    ``thread=False`` (default): `fn`'s output may have any structure; each
+    iteration re-applies `fn` to the original input, with a 1e-30-scaled tap of
+    the previous output folded into one element so XLA cannot hoist the body.
+    Right for stateless programs (encode, decode) whose output shape differs
+    from the input.
+
+    ``thread=True``: `fn` must map a pytree to one of the SAME structure (e.g.
+    a train step, state -> state); each iteration's OUTPUT becomes the next
+    input. This measures the production semantics of a state-threading loop:
+    the dependency is real (no perturbation needed) and the fori_loop carry
+    aliases buffers in place — the same buffer reuse a donating top-level step
+    gets — instead of keeping the input state alive across the call."""
     import jax
     import jax.numpy as jnp
 
@@ -49,17 +62,21 @@ def chain_apply(fn: Callable[[Any], Any]) -> Callable:
             (s * 1e-30).astype(leaves[i].dtype))
         return jax.tree.unflatten(treedef, leaves)
 
+    def _tap(y):
+        # tap one element of EVERY leaf: a single-leaf tap lets XLA
+        # dead-code-eliminate whole subcomputations (e.g. tapping a frozen
+        # param of a train step's output state DCE'd the entire step)
+        return sum(jnp.float32(leaf.ravel()[0]) for leaf in jax.tree.leaves(y))
+
     @jax.jit
     def run(x0, iters):
         def body(_, carry):
             xc, s = carry
+            if thread:
+                y = fn(xc)
+                return y, _tap(y)
             xc = _perturb(xc, s)
-            y = fn(xc)
-            # tap one element of EVERY leaf: a single-leaf tap lets XLA
-            # dead-code-eliminate whole subcomputations (e.g. tapping a frozen
-            # param of a train step's output state DCE'd the entire step)
-            tap = sum(jnp.float32(leaf.ravel()[0]) for leaf in jax.tree.leaves(y))
-            return xc, tap
+            return xc, _tap(fn(xc))
 
         return jax.lax.fori_loop(0, iters, body, (x0, jnp.float32(0.0)))[1]
 
@@ -67,12 +84,12 @@ def chain_apply(fn: Callable[[Any], Any]) -> Callable:
 
 
 def time_chained(fn: Callable[[Any], Any], x, *, k: int = 32,
-                 rounds: int = 3) -> float:
+                 rounds: int = 3, thread: bool = False) -> float:
     """Median per-application seconds of `fn(x)` over `rounds` differential
     fori-chain measurements: ((T(2k) - T(k)) / k per round."""
     import jax.numpy as jnp
 
-    run = chain_apply(fn)
+    run = chain_apply(fn, thread=thread)
     k1, k2 = jnp.int32(k), jnp.int32(2 * k)
     float(run(x, k1))  # compile + warmup
     float(run(x, k2))

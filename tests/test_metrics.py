@@ -205,6 +205,11 @@ def test_meteor_norm_tokenize_matches_jar_pipeline():
     assert norm_tokenize("fish &amp; chips") == ["fish", "&", "chips"]
     # already-normalized engine text (space-separated lowercase) is a no-op
     assert norm_tokenize("the cat sat") == ["the", "cat", "sat"]
+    # mteval-v13a space-wraps BEFORE the digit-conditional rules, so '.'/','
+    # adjacent to a digit at a STRING BOUNDARY still splits (the interior
+    # digit context '3.50' does not):
+    assert norm_tokenize("it costs 3.50.") == ["it", "costs", "3.50", "."]
+    assert norm_tokenize(".5 or 5,") == [".", "5", "or", "5", ","]
 
 
 def test_meteor_norm_tokenization_affects_scoring():

@@ -171,9 +171,12 @@ def measure(batch: int, reps: int, rounds: int):
         lambda s: decode.greedy(params, cfg, s, **gkw).astype(jnp.float32),
         samples, k=max(2, reps // 2), rounds=rounds)
 
-    # train step at the same batch: the DONATING step (as main.py runs it),
-    # state threaded through the chain's loop carry (while-loop carries alias
-    # in place — donation semantics), batch/key closure-captured.
+    # train step at the same batch, measured as main.py runs it: the output
+    # state IS the next input (time_chained thread=True), so the fori_loop
+    # carry aliases state buffers in place — the buffer-reuse semantics a
+    # donating top-level step gets. The step is built donate=False because an
+    # inner jit's donation flag is ignored once inlined into the timing loop
+    # (and donate=True would free `params`, which the decode rows still use).
     t_cap = cfg.max_position_embeddings + 1
     tbatch = tstate.Batch(
         images=img,
@@ -190,7 +193,8 @@ def measure(batch: int, reps: int, rounds: int):
         s2, _ = step_d(state, tbatch, key)
         return s2
 
-    t_train = time_chained(train_once, st, k=max(2, reps), rounds=rounds)
+    t_train = time_chained(train_once, st, k=max(2, reps), rounds=rounds,
+                           thread=True)
 
     out = {
         "batch": batch,
@@ -250,7 +254,10 @@ def report(peak_flops: float, peak_bw: float):
         "differential fori-chain protocol (`retr_tpu.utils.timing`): the program "
         "runs k and 2k times serially on-device inside one jitted loop and "
         "(T(2k)-T(k))/k is reported, so the tunnel round trip and per-dispatch "
-        "transport cost cancel — these are true device times. (Rounds 1-3 used a "
+        "transport cost cancel — these are true device times. The train row "
+        "threads the output state back as the next input (`time_chained "
+        "thread=True`), so the loop carry aliases state buffers in place — the "
+        "production semantics of main.py's donating step. (Rounds 1-3 used a "
         "per-dispatch protocol that baked ~6-14 ms of transport into encode/train "
         "rows; the bench.py end-to-end rows still include transport deliberately, "
         "since a user pays it.)",
