@@ -161,15 +161,22 @@ def measure(batch: int, reps: int, rounds: int):
     # chained; backbone sections sum to the chained number).
     from retr_tpu.utils.timing import time_chained
 
+    def _log(msg):
+        print(f"[roofline {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+              flush=True)
+
+    _log("measuring encode (compile through the remote service takes minutes)")
     t_enc = time_chained(
         lambda s: caption.encode(params, cfg, s, compute_dtype=cdt)[0],
         samples, k=4 * reps, rounds=rounds)
+    _log(f"encode {t_enc*1e3:.2f} ms; measuring full greedy")
 
     gkw = dict(max_len=MAX_LEN, bos_token=101, eos_token=cfg.vocab_size + 1,
                compute_dtype=cdt)
     t_full = time_chained(
         lambda s: decode.greedy(params, cfg, s, **gkw).astype(jnp.float32),
         samples, k=max(2, reps // 2), rounds=rounds)
+    _log(f"full greedy {t_full*1e3:.1f} ms; measuring train step")
 
     # train step at the same batch, measured as main.py runs it: the output
     # state IS the next input (time_chained thread=True), so the fori_loop
@@ -195,6 +202,7 @@ def measure(batch: int, reps: int, rounds: int):
 
     t_train = time_chained(train_once, st, k=max(2, reps), rounds=rounds,
                            thread=True)
+    _log(f"train step {t_train*1e3:.1f} ms")
 
     out = {
         "batch": batch,
