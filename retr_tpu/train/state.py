@@ -211,7 +211,11 @@ def create_train_state(cfg: Config, key=None, steps_per_epoch: int = 1000, param
     else:
         # Caller-supplied params (e.g. .pth import) may be uncommitted; normalize
         # placement so post-restore programs hit the jit cache (retr_tpu/device.py).
-        params = device.commit_to_local_device(params)
+        # Mesh-sharded params are left untouched — collapsing them to one device
+        # would silently undo the caller's sharding.
+        if all(len(getattr(leaf, "devices", lambda: [None])()) <= 1
+               for leaf in jax.tree.leaves(params)):
+            params = device.commit_to_local_device(params)
     tx = make_optimizer(cfg, steps_per_epoch)
     opt_state = tx.init(params)
     return TrainState(params, opt_state, jnp.int32(0)), tx

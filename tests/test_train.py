@@ -188,9 +188,13 @@ def test_dp_mp_sharded_train_step():
     mesh = pmesh.make_mesh(dp=4, mp=2)
     tx, step = cached_step(cfg)
     params0, _ = __import__("retr_tpu.models.caption", fromlist=["x"]).build_model(cfg, jax.random.key(0))
-    state = tstate.TrainState(params0, tx.init(params0), jnp.int32(0))
-    sharded_params = pmesh.shard_params(state.params, mesh)
-    state = state._replace(params=sharded_params)
+    # Production order (main.py): shard params over the mesh FIRST, then init
+    # the optimizer from the sharded tree so m/v inherit the mesh placement.
+    # Initing from the device-0-committed fresh params and swapping afterwards
+    # hands jit a mix of single-device-committed opt state and 8-device params,
+    # which it rejects.
+    sharded_params = pmesh.shard_params(params0, mesh)
+    state = tstate.TrainState(sharded_params, tx.init(sharded_params), jnp.int32(0))
 
     batch = synth_batch(cfg, b=8)
     batch = jax.tree.map(
