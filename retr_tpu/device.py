@@ -30,3 +30,23 @@ def commit_to_local_device(tree):
     """Commit every array leaf of ``tree`` to the default local device."""
     dev = default_local_device()
     return jax.tree.map(lambda x: jax.device_put(x, dev), tree)
+
+
+def is_sharded_tree(tree) -> bool:
+    """True if ANY array leaf of ``tree`` spans more than one device.
+
+    This is the framework's sharding signal for placement normalization: a tree
+    with even one multi-device leaf is treated as deliberately mesh-placed and
+    must NOT be re-collapsed onto the local device (see
+    ``train.state.create_train_state``). The converse heuristic is intentional
+    too: a tree whose leaves are each single-device — even if they sit on
+    *different* single devices (a state no framework code path produces) — is
+    treated as unplaced host data and normalized onto ``local_devices()[0]``.
+    Callers constructing mixed trees on purpose should place them on a Mesh
+    before handing them over. Non-array leaves (no ``.devices``) count as
+    unplaced.
+    """
+    for leaf in jax.tree.leaves(tree):
+        if len(getattr(leaf, "devices", lambda: [None])()) > 1:
+            return True
+    return False

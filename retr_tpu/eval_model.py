@@ -58,10 +58,19 @@ def setup_val_dataloader(config: Config, split: str, tokenizer, batch_size: int 
 
 
 def main_val_set(args, config: Config):
+    import dataclasses
+
     from retr_tpu.main import apply_device_config
 
+    if getattr(args, "device", ""):
+        config = dataclasses.replace(config, device=args.device)
     apply_device_config(config)
     params, config = prepare_model(args, config)
+    if getattr(args, "device", ""):
+        # --override_config may have swapped in the checkpoint's config; the CLI
+        # device override still wins (matches reference precedence: the arg is
+        # applied after config resolution, eval_model.py:111-126).
+        config = dataclasses.replace(config, device=args.device)
     tokenizer, _, _ = prepare_tokenizer(config.vocab_file)
     loader = setup_val_dataloader(config, args.split, tokenizer,
                                   batch_size=getattr(args, "batch", 0))
@@ -93,6 +102,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="take model-variant config from the checkpoint")
     ap.add_argument("--decoder", default="greedy",
                 choices=["greedy", "beam", "sample"])
+    ap.add_argument("--device", default="",
+                    choices=["", "tpu", "cpu"],
+                    help="override Config.device for this run (reference "
+                    "eval_model.py:111-113 exposes the same knob as "
+                    "--device cuda/cpu)")
     ap.add_argument("--profile_dir", default="",
                     help="write a jax.profiler device trace of the eval here "
                     "(view with TensorBoard/xprof)")

@@ -293,6 +293,22 @@ class Predictor:
         return self.tokenizer.batch_decode(pruned)
 
 
+class ServingOverloaded(RuntimeError):
+    """Raised by ServingQueue.submit when the bounded request queue is full.
+
+    Load shedding: rejecting immediately keeps tail latency bounded under
+    overload — the alternative (unbounded queueing) "succeeds" every request
+    after minutes (measured p99 107 s at offered 400 rps, docs/BENCH_SERVING.json
+    pre-shed soak). ``retry_after_s`` is the server's estimate of when capacity
+    frees up (drain time of the current queue + in-flight batches), suitable for
+    an HTTP Retry-After header.
+    """
+
+    def __init__(self, retry_after_s: float):
+        super().__init__(f"serving queue full; retry after ~{retry_after_s:.2f}s")
+        self.retry_after_s = retry_after_s
+
+
 class ServingQueue:
     """Async dynamic batcher over a Predictor, pipelined dispatch/collect.
 
@@ -300,6 +316,12 @@ class ServingQueue:
     `predictor.max_batch`; a dispatch fires as soon as the batch is full or the
     oldest queued request has waited `max_wait_s`. Each `submit` returns a
     `concurrent.futures.Future[str]`.
+
+    Admission control: the submit queue is bounded at ``max_queued`` requests
+    (default 4 dispatch windows = ``4 * predictor.max_batch``); a submit beyond
+    that raises :class:`ServingOverloaded` immediately instead of queueing into
+    an ever-growing backlog. ``stats()`` reports accepted/rejected counts and the
+    smoothed per-batch service time the Retry-After estimate derives from.
 
     Two stages run concurrently: the DISPATCHER preprocesses + launches decodes
     (non-blocking — the host fetch is the only real barrier on TPU) and the
@@ -319,18 +341,37 @@ class ServingQueue:
 
     def __init__(self, predictor: Predictor, *, max_wait_s: float = 0.05,
                  beam: bool = False, decoder: str = "greedy",
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, max_queued: Optional[int] = None):
         self.predictor = predictor
         self.max_wait_s = max_wait_s
         self.decoder = "beam" if beam else decoder
+        # Bounded ADMISSION, unbounded container: the shed decision happens in
+        # submit() (qsize check under the lock) so close()'s sentinel can always
+        # post without deadlocking against a full queue.
+        self.max_queued = (max_queued if max_queued is not None
+                           else 4 * predictor.max_batch)
         self._q: "queue.Queue" = queue.Queue()
         self._flight: "queue.Queue" = queue.Queue(maxsize=max(pipeline_depth, 1))
         self._closed = False
         self._close_lock = threading.Lock()  # makes the closed-check + enqueue atomic
+        self._accepted = 0
+        self._rejected = 0
+        # EMA of per-batch service time (collect-to-collect interval), seeding the
+        # Retry-After estimate before the first batch lands with the window length.
+        self._batch_s = max_wait_s
+        self._last_collect_t: Optional[float] = None
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._collector = threading.Thread(target=self._collect_loop, daemon=True)
         self._dispatcher.start()
         self._collector.start()
+
+    def _retry_after_estimate(self) -> float:
+        """Drain time of the standing queue + in-flight batches at the smoothed
+        per-batch service rate — when a shed client retrying after this long
+        should find room."""
+        batches_ahead = (self._q.qsize() / max(self.predictor.max_batch, 1)
+                         + self._flight.qsize() + 1)
+        return max(self.max_wait_s, batches_ahead * self._batch_s)
 
     def submit(self, image, bbox) -> "Future[str]":
         # Lock pairs the closed-check with the enqueue: without it a submit racing
@@ -339,9 +380,28 @@ class ServingQueue:
         with self._close_lock:
             if self._closed:
                 raise RuntimeError("ServingQueue is closed")
+            # Admission control: submits serialize on this lock and the workers
+            # only ever REMOVE items, so qsize() can only over-count here —
+            # shedding errs early, never admits past the bound.
+            if self._q.qsize() >= self.max_queued:
+                self._rejected += 1
+                raise ServingOverloaded(self._retry_after_estimate())
             fut: "Future[str]" = Future()
             self._q.put((image, bbox, fut))
+            self._accepted += 1
         return fut
+
+    def stats(self) -> dict:
+        """Admission/serving counters: accepted/rejected submits, standing queue
+        depth, in-flight batches, and the smoothed per-batch service time."""
+        return {
+            "accepted": self._accepted,
+            "rejected": self._rejected,
+            "queued": self._q.qsize(),
+            "in_flight_batches": self._flight.qsize(),
+            "batch_service_s": self._batch_s,
+            "max_queued": self.max_queued,
+        }
 
     def close(self, *, wait: bool = True) -> None:
         """Stop accepting requests; drain what is queued, then stop the workers."""
@@ -424,5 +484,12 @@ class ServingQueue:
                 for f in futs:
                     f.set_exception(exc)
                 continue
+            # Per-batch service time for the Retry-After estimate: in a saturated
+            # pipeline the collect-to-collect interval IS the device batch rate.
+            now = time.monotonic()
+            if self._last_collect_t is not None:
+                dt = now - self._last_collect_t
+                self._batch_s = 0.8 * self._batch_s + 0.2 * dt
+            self._last_collect_t = now
             for f, t in zip(futs, texts):
                 f.set_result(t)

@@ -10,8 +10,10 @@ Endpoints:
   ``{"expression": "..."}``. Concurrent requests are
   dynamically batched by the ServingQueue (pipelined dispatch/collect — see
   predictor.py; measured 141 req/s saturation, p50 0.31-0.63 s on one v5e chip,
-  docs/BENCH_SERVING.json).
-- ``GET /healthz``  → ``{"ok": true, "device": "..."}``.
+  docs/BENCH_SERVING.json). Under overload the bounded admission queue sheds:
+  HTTP 503 with a Retry-After header (and ``retry_after_s`` in the body) instead
+  of an unbounded-latency backlog (--max-queued).
+- ``GET /healthz``  → ``{"ok": true, "device": "...", "queue": {admission stats}}``.
 
 The reference has no serving surface at all (its only single-request path is the
 notebook helper eval_utils/decode.py:30-50, one full model rerun per token); this
@@ -62,20 +64,25 @@ def make_server(queue, host: str = "127.0.0.1", port: int = 8000,
     main() so tests can run it on an ephemeral port in-process."""
     import jax
 
+    from retr_tpu.predictor import ServingOverloaded
+
     device = str(jax.devices()[0])
 
     class Handler(BaseHTTPRequestHandler):
-        def _send(self, code: int, obj: dict) -> None:
+        def _send(self, code: int, obj: dict, headers: "dict | None" = None) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802 (http.server API)
             if self.path == "/healthz":
-                self._send(200, {"ok": True, "device": device})
+                self._send(200, {"ok": True, "device": device,
+                                 "queue": queue.stats()})
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -91,6 +98,14 @@ def make_server(queue, host: str = "127.0.0.1", port: int = 8000,
                 fut = queue.submit(img, bbox)
                 text = fut.result(timeout=request_timeout_s)
                 self._send(200, {"expression": text})
+            except ServingOverloaded as exc:
+                # Load shed: tell the client when to come back instead of
+                # queueing it into a minutes-deep backlog (docs/BENCH_SERVING.json
+                # soak section records the bounded tail this buys).
+                self._send(503, {"error": "overloaded",
+                                 "retry_after_s": round(exc.retry_after_s, 3)},
+                           headers={"Retry-After":
+                                    str(max(1, int(round(exc.retry_after_s))))})
             except Exception as exc:  # per-request error -> 400, server stays up
                 # generic body: exception text can echo host paths/internals
                 self._send(400, {"error": type(exc).__name__})
@@ -109,6 +124,9 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--max-wait-s", type=float, default=0.05)
+    ap.add_argument("--max-queued", type=int, default=None,
+                    help="admission bound: requests queued beyond this are shed "
+                    "with HTTP 503 + Retry-After (default 4 * max_batch)")
     ap.add_argument("--decoder", default="greedy", choices=["greedy", "beam", "sample"])
     ap.add_argument("--allow-local-paths", default=None, metavar="ROOT",
                     help="enable 'image_path' requests, restricted to this directory")
@@ -117,7 +135,8 @@ def main():
     from retr_tpu.predictor import Predictor, ServingQueue
 
     pred = Predictor.from_checkpoint(args.checkpoint, max_batch=args.max_batch)
-    queue = ServingQueue(pred, max_wait_s=args.max_wait_s, decoder=args.decoder)
+    queue = ServingQueue(pred, max_wait_s=args.max_wait_s, decoder=args.decoder,
+                         max_queued=args.max_queued)
     server = make_server(queue, args.host, args.port,
                          image_root=args.allow_local_paths)
     print(f"serving on http://{args.host}:{args.port} (decoder={args.decoder}, "

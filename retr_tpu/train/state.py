@@ -211,10 +211,10 @@ def create_train_state(cfg: Config, key=None, steps_per_epoch: int = 1000, param
     else:
         # Caller-supplied params (e.g. .pth import) may be uncommitted; normalize
         # placement so post-restore programs hit the jit cache (retr_tpu/device.py).
-        # Mesh-sharded params are left untouched — collapsing them to one device
-        # would silently undo the caller's sharding.
-        if all(len(getattr(leaf, "devices", lambda: [None])()) <= 1
-               for leaf in jax.tree.leaves(params)):
+        # "Any multi-device leaf" is the sharding signal (device.is_sharded_tree):
+        # such trees are deliberately mesh-placed and are left untouched —
+        # collapsing them to one device would silently undo the caller's sharding.
+        if not device.is_sharded_tree(params):
             params = device.commit_to_local_device(params)
     tx = make_optimizer(cfg, steps_per_epoch)
     opt_state = tx.init(params)

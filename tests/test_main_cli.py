@@ -97,6 +97,16 @@ def test_eval_cli_on_trained_checkpoint(env, tmp_path):
     metrics3, _ = em.main_val_set(args, cfg)
     assert metrics3["CIDEr"] == pytest.approx(metrics["CIDEr"])
 
+    # --device parity flag (reference eval_model.py:111-113): overrides
+    # Config.device for the run and survives --override_config's checkpoint
+    # config swap; on the CPU test host this is exercised end-to-end.
+    args = em.build_argparser().parse_args(
+        ["--split", "val", "--checkpoint", latest, "--override_config",
+         "--device", "cpu"]
+    )
+    metrics4, _ = em.main_val_set(args, cfg)
+    assert metrics4["CIDEr"] == pytest.approx(metrics["CIDEr"])
+
 
 @pytest.mark.slow
 def test_main_training_loop_multichip(tmp_path):

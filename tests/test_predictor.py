@@ -125,6 +125,90 @@ def test_serving_queue_rejects_after_close(rng):
         q.submit(rng.integers(0, 256, (50, 50, 3), dtype=np.uint8), [1, 1, 10, 10])
 
 
+def test_serving_queue_sheds_when_full(rng):
+    """Admission control: with the dispatcher blocked and ``max_queued`` requests
+    standing, the next submit raises ServingOverloaded immediately (with a
+    positive Retry-After estimate) instead of growing the backlog; everything
+    admitted still resolves once the dispatcher unblocks."""
+    import threading
+
+    from retr_tpu.predictor import ServingOverloaded
+
+    pred = tiny_predictor()
+    img = rng.integers(0, 256, (60, 60, 3), dtype=np.uint8)
+    bb = [5, 5, 30, 30]
+
+    release, entered = threading.Event(), threading.Event()
+    orig = pred._preprocess_one
+
+    def slow(image, bbox):
+        entered.set()
+        release.wait(60)
+        return orig(image, bbox)
+
+    pred._preprocess_one = slow
+    q = ServingQueue(pred, max_wait_s=0.01, max_queued=2)
+    first = q.submit(img, bb)
+    assert entered.wait(30)  # dispatcher holds request 1; queue is empty again
+    queued = [q.submit(img, bb) for _ in range(2)]  # fills the admission bound
+    with pytest.raises(ServingOverloaded) as ei:
+        q.submit(img, bb)
+    assert ei.value.retry_after_s > 0
+    st = q.stats()
+    assert st["rejected"] == 1 and st["accepted"] == 3 and st["max_queued"] == 2
+    release.set()
+    results = [f.result(timeout=120) for f in [first] + queued]
+    q.close()
+    assert all(isinstance(r, str) for r in results)
+    # capacity freed -> a fresh queue admits again (shed is not sticky)
+    assert q.stats()["queued"] == 0
+
+
+def test_http_serving_503_on_overload(rng):
+    """The HTTP front end maps ServingOverloaded to 503 with a Retry-After
+    header and a retry_after_s body field; the server survives the shed."""
+    import base64
+    import io
+    import json
+    import urllib.error
+    import urllib.request
+
+    from PIL import Image
+
+    from retr_tpu.serve import run_in_thread
+
+    pred = tiny_predictor()
+    img = rng.integers(0, 256, (70, 80, 3), dtype=np.uint8)
+    bbox = [5, 5, 40, 30]
+
+    # max_queued=0 sheds every submit deterministically
+    q = ServingQueue(pred, max_wait_s=0.02, max_queued=0)
+    server, base = run_in_thread(q)
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        payload = json.dumps({
+            "image": base64.b64encode(buf.getvalue()).decode(), "bbox": bbox,
+        }).encode()
+        req = urllib.request.Request(base + "/predict", data=payload,
+                                     headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            code, retry, body = 200, None, {}
+        except urllib.error.HTTPError as e:
+            code, retry, body = e.code, e.headers.get("Retry-After"), json.loads(e.read())
+        assert code == 503
+        assert retry is not None and int(retry) >= 1
+        assert body["error"] == "overloaded" and body["retry_after_s"] > 0
+        # server alive; healthz carries the admission stats
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] is True and health["queue"]["rejected"] >= 1
+    finally:
+        server.shutdown()
+        q.close()
+
+
 def test_refcocog_refs_filename(tmp_path):
     """refcocog directories read refs(umd).p (data_utils/utils.py:81 semantics)."""
     import json

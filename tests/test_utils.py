@@ -109,7 +109,18 @@ def test_time_chained_counts_applications():
     x = jnp.eye(64)
     t = time_chained(fn, x, k=4, rounds=2)
     assert isinstance(t, float) and math.isfinite(t)
+    # Sanity bound: a 64x64 matmul differential can jitter negative under host
+    # load, but a *systematically* broken differential (e.g. (T(2k)-T(k))
+    # missing the /k) would blow far past 1 s on this op. Generous ceiling, not
+    # a timing assertion.
+    assert abs(t) < 1.0, f"per-application differential implausible: {t}s"
     assert calls["n"] == 1  # one trace serves every chain depth
+    # Higher-k positive-time check: at k=64 the chained matmul work dominates
+    # host jitter on every rig we run on; flaky-tolerant via a single retry.
+    t_big = time_chained(fn, x, k=64, rounds=2)
+    if t_big <= 0:
+        t_big = time_chained(fn, x, k=64, rounds=3)
+    assert t_big > 0, f"k=64 differential still non-positive: {t_big}s"
 
     # pytree outputs: every leaf is tapped (a dict output must work)
     run = chain_apply(lambda x: {"a": x.sum(), "b": x * 2.0})

@@ -23,8 +23,18 @@ checkpoints share (the weights differ numerically, so equal-quality convergence,
 not bit-equality, is the bar). Results merge into docs/AB_BF16.json under
 "train_ab".
 
+``--pth PATH`` runs the STANDING PROMOTION GATE on a real reference-format
+checkpoint instead (VERDICT r4 item 8): imports the ``.pth`` weights
+(variant flags sniffed from the reference's filename convention,
+eval_model.py:49-82), greedy- and beam-decodes a fixture eval set under
+f32 HIGHEST vs bfloat16, and EXITS NONZERO on any token flip — the same
+zero-flip rule that promoted bf16 on the synthetic trained checkpoint
+(docs/AB_BF16.json) must re-validate on every real checkpoint.
+tools/real_assets_check.py invokes this automatically when a ``.pth`` appears.
+
 Usage: python tools/ab_bf16.py [--steps 400] [--ckpt-dir /tmp/retr_ab_ckpt]
        python tools/ab_bf16.py --train-ab [--steps 400]
+       python tools/ab_bf16.py --pth /path/to/reference_checkpoint.pth
 """
 
 from __future__ import annotations
@@ -109,6 +119,102 @@ def train_precision_ab(args, base, tok):
     return results
 
 
+def pth_flip_gate(args) -> int:
+    """Zero-flip bf16 promotion gate on a REAL reference ``.pth`` checkpoint.
+
+    Decodes the synthetic fixture's eval images (real RefCOCO data is not
+    required — the gate probes the WEIGHTS' argmax margins under bf16 memory
+    rounding, docs/AB_BF16.json) with the imported weights under f32 HIGHEST vs
+    compute_dtype=bfloat16. Greedy buffers must be token-exact and beam k=5 top
+    hypotheses row-exact, matching the rule that promoted bf16 as the bench
+    default. Returns 0 on pass; nonzero token flips return 1.
+    """
+    import jax.numpy as jnp
+
+    from retr_tpu import decode as decode_mod
+    from retr_tpu.config import Config
+    from retr_tpu.data import dataset as ds
+    from retr_tpu.data.pipeline import device_batch
+    from retr_tpu.data.tokenizer import prepare_tokenizer
+    from retr_tpu.masking import Masked
+    from retr_tpu.train import checkpoints as ckpt
+
+    coco_dir, ref_dir = make_fixture(args.fixture_dir, args.images)
+    tok, syn_bos, syn_eos = prepare_tokenizer()  # captions unused by decode
+
+    # Reference-default Config (ResNet101 dilated, d=256, vocab 30522) + the
+    # filename-sniffed variant flags — must match the .pth's shapes to import.
+    # --pth-config supplies an explicit Config JSON for non-default-shape
+    # checkpoints (e.g. the gate's own selftest on an exported ResNet50 model).
+    if getattr(args, "pth_config", ""):
+        base_cfg = Config.from_json(open(args.pth_config).read())
+    else:
+        base_cfg = Config()
+    cfg = base_cfg.replace(dir=coco_dir, ref_dir=ref_dir, verbose=False,
+                           batch_size=args.batch, num_workers=4,
+                           use_pallas_decode=True, compute_dtype="float32")
+    cfg = ckpt.override_config_with_reference_filename(cfg, args.pth)
+    params, _ = ckpt.import_reference_checkpoint(args.pth, cfg)
+    cfg_bf16 = cfg.replace(compute_dtype="bfloat16")
+    # Real checkpoints use the bert-base-uncased layout ([CLS]=101/[SEP]=102);
+    # small-vocab selftest exports fall back to the fixture tokenizer's ids.
+    bos_id, eos_id = (101, 102) if cfg.vocab_size >= 30522 else (syn_bos, syn_eos)
+
+    eval_set = ds.build_dataset(cfg, "val", tokenizer=tok, return_unique=True)
+    loader = ds.DataLoader(eval_set, cfg.batch_size, num_workers=4)
+
+    greedy_flips = greedy_rows = beam_rows = 0
+    n_tokens = n_rows = 0
+    for host in loader:
+        batch = device_batch(host, train=False)
+        samples = Masked(batch.images, batch.image_masks)
+        g = (Masked(batch.global_images, batch.global_masks)
+             if batch.global_images is not None else None)
+        bufs, beams = {}, {}
+        for name, c in (("f32", cfg), ("bf16", cfg_bf16)):
+            bufs[name] = np.asarray(decode_mod.greedy(
+                params, c, samples, global_samples=g, loc_feats=batch.loc_feats,
+                max_len=c.max_position_embeddings,
+                bos_token=bos_id, eos_token=eos_id,
+                compute_dtype=jnp.dtype(c.compute_dtype)))
+            toks, _ = decode_mod.beam_search(
+                params, c, samples, global_samples=g, loc_feats=batch.loc_feats,
+                max_len=c.max_position_embeddings,
+                bos_token=bos_id, eos_token=eos_id, beam_size=5,
+                compute_dtype=jnp.dtype(c.compute_dtype))
+            beams[name] = np.asarray(toks[:, 0])
+        diff = bufs["f32"] != bufs["bf16"]
+        greedy_flips += int(diff.sum())
+        greedy_rows += int(diff.any(axis=1).sum())
+        beam_rows += int((beams["f32"] != beams["bf16"]).any(axis=1).sum())
+        n_tokens += bufs["f32"].size
+        n_rows += bufs["f32"].shape[0]
+
+    result = {
+        "pth": args.pth,
+        "greedy_token_flips": greedy_flips,
+        "greedy_rows_changed": f"{greedy_rows}/{n_rows}",
+        "beam5_rows_changed": f"{beam_rows}/{n_rows}",
+        "tokens_compared": n_tokens,
+        "pass": greedy_flips == 0 and beam_rows == 0,
+    }
+    print(json.dumps(result), flush=True)
+
+    art = os.path.join(REPO, "docs", "AB_BF16.json")
+    merged = {}
+    if os.path.exists(art):
+        with open(art) as f:
+            merged = json.load(f)
+    merged["real_pth_gate"] = result
+    with open(art, "w") as f:
+        json.dump(merged, f, indent=2)
+    if not result["pass"]:
+        print("bf16 promotion gate FAILED on real checkpoint — re-adjudicate "
+              "compute_dtype default (docs/AB_BF16.json promotion rule)")
+        return 1
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=96)
@@ -123,7 +229,16 @@ def main():
                     " fusion variant too")
     ap.add_argument("--train-ab", action="store_true",
                     help="twin f32-vs-bf16 TRAINING runs + f32 eval of each result")
+    ap.add_argument("--pth", default="",
+                    help="run the standing zero-flip bf16 gate on this real "
+                    "reference .pth checkpoint instead of training")
+    ap.add_argument("--pth-config", default="",
+                    help="Config JSON matching the --pth checkpoint's shapes "
+                    "(default: reference-default Config + filename sniffing)")
     args = ap.parse_args()
+
+    if args.pth:
+        sys.exit(pth_flip_gate(args))
 
     coco_dir, ref_dir = make_fixture(args.fixture_dir, args.images)
 

@@ -3,10 +3,11 @@ fusion-count-bound per-step overhead (docs/PERF.md)?
 
 The decode step's cost is dominated by fixed per-fusion/per-kernel launch
 overhead, which is independent of the batch dimension — so captions/s rises
-with batch until bytes/FLOPs take over. Batch 128 is the current headline
-(BENCH_DETAILS.json config 7). This probe measures 128/192/256/384 under the
-same protocol as bench.py (EOS unreachable -> full 127 steps; 5 batches in
-flight; median of 3 rounds) and checks token invariance vs the first batch.
+with batch until bytes/FLOPs take over. Batch 512 is the current headline
+(BENCH_r04.json; the measured curve plateaus 384→512 within ~0.5%). This probe
+measures 128/192/256/384/512 under the same protocol as bench.py (EOS
+unreachable -> full 127 steps; 5 batches in flight; median of 3 rounds) and
+checks token invariance vs the first batch.
 
 Invariance caveat (measured, docs/PERF.md r4): with bf16 compute the RANDOM
 weights used here flip ~2.8% of positions across batch sizes — argmax near-ties
@@ -42,7 +43,8 @@ def flagship():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batches", type=int, nargs="+", default=[128, 192, 256, 384])
+    ap.add_argument("--batches", type=int, nargs="+",
+                    default=[128, 192, 256, 384, 512])
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--decoder", default="greedy", choices=["greedy", "beam", "sample"],

@@ -103,7 +103,17 @@ def gate_pth(pth: str, exact: bool) -> int:
     cmd = [PY, os.path.join(REPO, "tools", "parity_check.py"), "--checkpoint", pth]
     if exact:
         cmd.append("--exact")
-    return subprocess.run(cmd).returncode
+    rc = subprocess.run(cmd).returncode
+    if rc:
+        return rc
+    # Standing bf16-promotion gate (VERDICT r4 item 8): the zero-flip rule that
+    # promoted compute_dtype=bfloat16 on a synthetic trained checkpoint
+    # (docs/AB_BF16.json) must re-validate on every REAL checkpoint. Any greedy
+    # token flip or beam top-hypothesis change under bf16 fails the gate.
+    print(f"== bf16 zero-flip promotion gate: {pth}")
+    return subprocess.run(
+        [PY, os.path.join(REPO, "tools", "ab_bf16.py"), "--pth", pth]
+    ).returncode
 
 
 def gate_refcoco(root: str, vocab: str, pth: str, coco_imgs: str, limit: int) -> int:
