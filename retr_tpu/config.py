@@ -114,6 +114,14 @@ class Config:
     # >1 shrinks the activation footprint by the factor; the update equals the
     # full-batch step (loss is a mean over rows). batch_size must be divisible.
     grad_accum_steps: int = 1
+    # Rematerialization (jax.checkpoint) on every backbone residual block and
+    # every encoder/decoder transformer layer: the backward pass recomputes
+    # layer activations instead of keeping them resident, trading FLOPs for HBM
+    # — the standard escape hatch for train batches whose activations OOM
+    # (grad_accum_steps changes the step's micro-batching; remat does not).
+    # Loss/gradients are identical math (tested); see docs/PERF.md for the
+    # measured memory/throughput trade.
+    remat: bool = False
     # Path to a BERT-style WordPiece vocab file; empty → synthetic test vocab.
     vocab_file: str = ""
     # Mesh axes for the multi-chip path: data-parallel x model-parallel.
@@ -209,10 +217,11 @@ HOST_ONLY_FIELDS = (
     "batch_size", "device", "start_epoch", "async_checkpoints", "vocab_file",
     "dp_size", "mp_size",
 )
-# Read only by the TRAIN/EVAL step programs (optimizer + schedule knobs).
+# Read only by the TRAIN/EVAL step programs (optimizer + schedule knobs;
+# ``remat`` is a pure backward-pass trade, meaningless to decode programs).
 TRAIN_ONLY_FIELDS = (
     "epochs", "lr", "lr_backbone", "lr_drop", "weight_decay", "clip_max_norm",
-    "lr_schedule", "warmup_steps", "grad_accum_steps",
+    "lr_schedule", "warmup_steps", "grad_accum_steps", "remat",
 )
 # Read only by the DECODE programs (search hyperparameters).
 DECODE_ONLY_FIELDS = (

@@ -76,7 +76,7 @@ def _backbone_features(params: Params, samples: Masked, cfg: Config, compute_dty
         params["backbone"], samples, name=cfg.backbone, dilation=cfg.dilation,
         compute_dtype=compute_dtype, precision=cfg.backbone_precision
         if cfg.backbone_precision != "highest" else "",
-        stop_prefix_gradient=stop_prefix_gradient,
+        stop_prefix_gradient=stop_prefix_gradient, remat=cfg.remat,
     )
     if cfg.guard_all_masked_target:
         feats = feats._replace(
@@ -128,7 +128,7 @@ def build_encoder_input(
             params["backbone"], global_samples, name=cfg.backbone, dilation=cfg.dilation,
             compute_dtype=compute_dtype, precision=cfg.backbone_precision
             if cfg.backbone_precision != "highest" else "",
-            stop_prefix_gradient=stop_prefix_gradient,
+            stop_prefix_gradient=stop_prefix_gradient, remat=cfg.remat,
         )
         if unmask_key is None:
             unmask_key = jax.random.key(cfg.seed)

@@ -273,6 +273,7 @@ def apply(
     compute_dtype=jnp.float32,
     precision: str = "",
     stop_prefix_gradient: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """[B, 3, H, W] image -> [B, C, H/s, W/s] layer4 features (C=2048 for 50/101).
 
@@ -287,9 +288,16 @@ def apply(
     XLA equivalent: forward values are untouched, and the backward pass skips the
     most activation-heavy stages (112^2x64 and 56^2x256 residuals are neither
     saved nor re-walked). Train steps set it; eval never differentiates.
+
+    ``remat`` (Config.remat) wraps every residual block in ``jax.checkpoint``:
+    the backward recomputes each block's internals from its input instead of
+    keeping conv activations resident — per-block peak memory instead of
+    whole-network, ~1 extra forward of FLOPs on the differentiated stages.
     """
     block_type, plan = resnet_structure(name, dilation)
     block_apply = _bottleneck_apply if block_type == "bottleneck" else _basic_apply
+    if remat:
+        block_apply = jax.checkpoint(block_apply, static_argnums=(2, 3))
 
     if compute_dtype != jnp.float32:
         params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
@@ -321,13 +329,14 @@ def backbone_forward(
     compute_dtype=jnp.float32,
     precision: str = "",
     stop_prefix_gradient: bool = False,
+    remat: bool = False,
 ) -> Masked:
     """Reference BackboneBase.forward (models/backbone.py:68-77): features + mask
     downsampled (nearest) to the feature-map size."""
     feats = apply(
         params, samples.tensors, name=name, dilation=dilation,
         compute_dtype=compute_dtype, precision=precision,
-        stop_prefix_gradient=stop_prefix_gradient,
+        stop_prefix_gradient=stop_prefix_gradient, remat=remat,
     )
     mask = downsample_mask_nearest(samples.mask, feats.shape[-2], feats.shape[-1])
     return Masked(feats, mask)

@@ -182,11 +182,29 @@ def encode(
     bias = key_padding_bias(src_pad_mask)
     kp_bias = bias[:, 0, 0, :]  # [B, S] additive form for the Pallas kernel
 
+    # Remat (Config.remat): recompute each encoder layer in the backward pass
+    # instead of keeping its attention/FF activations resident. Only meaningful
+    # under differentiation; the attention-map path keeps the plain trace.
+    use_remat = cfg.remat and not need_weights
+
+    def enc_layer(lp, x, k_sa, k_ff):
+        x, _ = _self_att_block(
+            lp["self_attn"], x, pos[None, :, :], bias, cfg,
+            need_weights=False, key=k_sa, train=train, key_pad_bias=kp_bias,
+        )
+        return _ff_block(lp["ff"], x, cfg, key=k_ff, train=train)
+
+    if use_remat:
+        enc_layer = jax.checkpoint(enc_layer)
+
     x = src
     enc_ws = []
     for li, lp in enumerate(params["encoder"]["layers"]):
         lk = None if key is None else jax.random.fold_in(key, li)
         k_sa, k_ff = (None, None) if lk is None else jax.random.split(lk)
+        if use_remat:
+            x = enc_layer(lp, x, k_sa, k_ff)
+            continue
         x, w = _self_att_block(
             lp["self_attn"], x, pos[None, :, :], bias, cfg,
             need_weights=need_weights, key=k_sa, train=train, key_pad_bias=kp_bias,
@@ -224,10 +242,32 @@ def decode_full(
     tgt_kp = key_padding_bias(tgt_pad_mask)[:, 0, 0, :]
     mem_kp = mem_bias[:, 0, 0, :]
 
+    # Remat (Config.remat): see encode() — per-layer jax.checkpoint on the
+    # differentiated path only.
+    use_remat = cfg.remat and not need_weights
+
+    def dec_layer(lp, x, memory, k_sa, k_ca, k_ff):
+        x, _ = _self_att_block(
+            lp["self_attn"], x, query_pos, self_bias, cfg,
+            need_weights=False, key=k_sa, train=train,
+            causal=True, key_pad_bias=tgt_kp,
+        )
+        x, _ = _cross_att_block(
+            lp["cross_attn"], x, memory, query_pos, pos[None, :, :], mem_bias, cfg,
+            need_weights=False, key=k_ca, train=train, key_pad_bias=mem_kp,
+        )
+        return _ff_block(lp["ff"], x, cfg, key=k_ff, train=train)
+
+    if use_remat:
+        dec_layer = jax.checkpoint(dec_layer)
+
     dec_sws, dec_cws = [], []
     for li, lp in enumerate(params["decoder"]["layers"]):
         lk = None if key is None else jax.random.fold_in(key, 100 + li)
         k_sa, k_ca, k_ff = (None, None, None) if lk is None else jax.random.split(lk, 3)
+        if use_remat:
+            x = dec_layer(lp, x, memory, k_sa, k_ca, k_ff)
+            continue
         x, sw = _self_att_block(
             lp["self_attn"], x, query_pos, self_bias, cfg,
             need_weights=need_weights, key=k_sa, train=train,

@@ -274,6 +274,50 @@ def test_grad_accumulation_matches_full_batch():
         tstate.make_train_step(cfg, tx, donate=False, accum_steps=3)(s1, batch, key)
 
 
+def test_remat_matches_plain_gradients():
+    """cfg.remat (jax.checkpoint on backbone blocks + transformer layers) is a
+    pure memory/FLOPs trade: loss and every gradient leaf must equal the plain
+    backward's bitwise-closely (identical math, recomputed instead of saved).
+    dropout on exercises PRNG-threading under remat (keys are checkpointed
+    inputs, so recomputation draws the same masks)."""
+    from retr_tpu.models import caption
+    from retr_tpu.train.state import loss_fn
+
+    cfg = tiny_cfg(dropout=0.1)
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    batch = synth_batch(cfg, b=2, seed=5)
+    key = jax.random.key(7)
+
+    grads = {}
+    losses = {}
+    for name, c in (("plain", cfg), ("remat", cfg.replace(remat=True))):
+        val, g = jax.jit(
+            jax.value_and_grad(
+                lambda p, c=c: loss_fn(p, c, batch, key, train=True)
+            )
+        )(params)
+        losses[name], grads[name] = float(val), g
+    assert losses["plain"] == pytest.approx(losses["remat"], abs=1e-6)
+    flat_p = jax.tree_util.tree_leaves_with_path(grads["plain"])
+    flat_r = jax.tree.leaves(grads["remat"])
+    assert len(flat_p) == len(flat_r)
+    for (path, gp), gr in zip(flat_p, flat_r):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=1e-6,
+                                   err_msg=str(path))
+
+
+def test_remat_is_train_only_for_program_keys():
+    """remat never enters decode program keys (config.program_config resets it)
+    but DOES distinguish train programs (_program_key keeps it) — a remat flag
+    flip must not fragment the decode compile cache, and must not silently
+    reuse a non-remat train executable."""
+    from retr_tpu import config as config_mod
+
+    a, b = tiny_cfg(), tiny_cfg(remat=True)
+    assert config_mod.program_config(a) == config_mod.program_config(b)
+    assert tstate._program_key(a) != tstate._program_key(b)
+
+
 def test_build_schedule_warmup_and_cosine():
     # warmup + step: linear ramp 0 -> base over warmup_steps, then the StepLR values
     cfg = tiny_cfg(warmup_steps=5, lr_drop=2)
