@@ -431,6 +431,9 @@ class _BeamCarry(NamedTuple):
     tokens: jax.Array       # [B, K, L]
     scores: jax.Array       # [B, K] cumulative log-prob
     finished: jax.Array     # [B, K] bool
+    fin_len: jax.Array      # [B, K] f32 first-EOS position (0 = still live) — kept
+    #                         incrementally so the early-stop cond is O(B*K), not
+    #                         an O(B*K*L) token-buffer scan every step
     cache: transformer.DecodeCache  # self caches with leading dim B*K, NEVER reordered
     anc: jax.Array          # [B, K, L] int32 ancestry (cache row that wrote position t)
     step: jax.Array
@@ -448,6 +451,7 @@ def beam_search_from_memory(
     eos_token: int,
     beam_size: int,
     length_penalty: float = 1.0,
+    early_stop: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Standard beam search with length normalization score/len**alpha.
 
@@ -460,6 +464,20 @@ def beam_search_from_memory(
     Round 1 gathered all 12 self caches every step, which measured at ~258 ms of
     the 531 ms batch-32/k=5 decode (tools/exp_r2.py); the ancestry carry is 80 KB
     instead.
+
+    ``early_stop`` (default on) terminates the loop before every beam finishes,
+    per batch element, once some beam has finished and no live beam can plausibly
+    change the kept results: a live beam keeps the loop alive only while it could
+    still (a) outrank the worst finished beam under the normalized score, taking
+    its BEST-CASE normalized score as cur_score / min_possible_length**alpha
+    (finishing right now — the standard beam-scorer termination heuristic; for
+    alpha > 0 a live beam could in principle normalize better by finishing much
+    longer at near-zero added log-prob, which this heuristic ignores), or
+    (b) evict a finished beam from the kept set under the RAW in-loop top-k
+    score (raw log-prob only decreases, so this part is exact). In practice the
+    finished rows — in particular the top hypothesis every consumer reads — match
+    the exhaustive run (tests/test_caption.py guard pins a seeded batch); only
+    never-finished tail rows stop extending earlier.
     """
     b, s, c = memory.shape
     k = beam_size
@@ -488,8 +506,29 @@ def beam_search_from_memory(
             dk.FORCE_INTERPRET or jax.default_backend() != "cpu"
         )
 
+    lp = jnp.float32(length_penalty)
+
     def cond(cst: _BeamCarry):
-        return jnp.logical_and(cst.step < max_len - 1, ~jnp.all(cst.finished))
+        if not early_stop:
+            return jnp.logical_and(cst.step < max_len - 1, ~jnp.all(cst.finished))
+        all_fin = jnp.all(cst.finished, axis=-1)                      # [B]
+        any_fin = jnp.any(cst.finished, axis=-1)                      # [B]
+        # finished beams' FINAL normalized scores (same length rule as the
+        # post-loop ranking: first-EOS position counts tokens after BOS incl EOS)
+        fin_norm = cst.scores / jnp.maximum(cst.fin_len, 1.0) ** lp
+        worst_fin = jnp.min(jnp.where(cst.finished, fin_norm, jnp.inf), axis=-1)
+        fin_raw_min = jnp.min(jnp.where(cst.finished, cst.scores, jnp.inf), axis=-1)
+        # live beams' best-case normalized score under the finish-NOW heuristic:
+        # raw log-prob only decreases, min possible finish length is step+1
+        live = ~cst.finished
+        len_lo = jnp.maximum(cst.step.astype(jnp.float32) + 1.0, 1.0)
+        bound = cst.scores / len_lo ** lp
+        can_win = jnp.any(jnp.where(live, bound, -jnp.inf) >= worst_fin[:, None],
+                          axis=-1)
+        can_evict = jnp.any(jnp.where(live, cst.scores, -jnp.inf)
+                            >= fin_raw_min[:, None], axis=-1)
+        elem_active = ~all_fin & (~any_fin | can_win | can_evict)
+        return jnp.logical_and(cst.step < max_len - 1, jnp.any(elem_active))
 
     def body(cst: _BeamCarry):
         cur = cst.tokens[:, :, cst.step].reshape(b * k)
@@ -543,13 +582,19 @@ def beam_search_from_memory(
 
         tokens = jnp.take_along_axis(cst.tokens, beam_idx[:, :, None], axis=1)
         tokens = tokens.at[:, :, cst.step + 1].set(tok_idx)
-        finished = jnp.take_along_axis(cst.finished, beam_idx, axis=1)
-        finished = jnp.logical_or(finished, tok_idx == eos_token)
+        prev_fin = jnp.take_along_axis(cst.finished, beam_idx, axis=1)
+        finished = jnp.logical_or(prev_fin, tok_idx == eos_token)
+        # first-EOS position for beams finishing THIS step = the slot just written
+        fin_len = jnp.take_along_axis(cst.fin_len, beam_idx, axis=1)
+        fin_len = jnp.where(~prev_fin & (tok_idx == eos_token),
+                            (cst.step + 1).astype(jnp.float32), fin_len)
         # reorder the 80KB ancestry matrix instead of the ~250MB of caches
         anc = jnp.take_along_axis(anc, beam_idx[:, :, None], axis=1)
-        return _BeamCarry(tokens, top_scores, finished, cache, anc, cst.step + 1)
+        return _BeamCarry(tokens, top_scores, finished, fin_len, cache, anc,
+                          cst.step + 1)
 
-    init = _BeamCarry(tokens, scores, finished, cache, anc, jnp.int32(0))
+    init = _BeamCarry(tokens, scores, finished, jnp.zeros((b, k), jnp.float32),
+                      cache, anc, jnp.int32(0))
     with matmul_precision(memory.dtype):
         out = jax.lax.while_loop(cond, body, init)
 
@@ -568,7 +613,8 @@ def beam_search_from_memory(
 @_normalize_static_cfg
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_len", "bos_token", "eos_token", "beam_size", "compute_dtype"),
+    static_argnames=("cfg", "max_len", "bos_token", "eos_token", "beam_size",
+                     "compute_dtype", "early_stop"),
 )
 def beam_search(
     params: Params,
@@ -583,6 +629,7 @@ def beam_search(
     beam_size: int = 5,
     length_penalty: float = 1.0,
     compute_dtype=jnp.float32,
+    early_stop: bool = True,
 ):
     memory, mem_mask, pos = caption.encode(
         params, cfg, samples, global_samples=global_samples, loc_feats=loc_feats,
@@ -592,7 +639,7 @@ def beam_search(
     return beam_search_from_memory(
         params, cfg, memory, mem_mask, pos,
         max_len=max_len, bos_token=bos_token, eos_token=eos_token,
-        beam_size=beam_size, length_penalty=length_penalty,
+        beam_size=beam_size, length_penalty=length_penalty, early_stop=early_stop,
     )
 
 

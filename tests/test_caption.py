@@ -323,8 +323,55 @@ def test_beam_ancestry_matches_gathered_reference():
         got, _ = decode.beam_search(
             params, cfg, samples, max_len=cfg.max_position_embeddings,
             bos_token=bos, eos_token=eos, beam_size=k,
+            early_stop=False,  # full-buffer equality vs the exhaustive reference
         )
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_beam_early_stop_matches_exhaustive():
+    """Early termination (decode.beam_search_from_memory early_stop, VERDICT r4
+    item 6) must leave every consumer-visible result unchanged: each row the
+    early run FINISHED (tokens up to & incl. its first EOS, plus its normalized
+    score) equals the exhaustive run's same-rank row — in particular the top
+    hypothesis every consumer reads. Live tail rows may stop extending earlier
+    (documented semantics). The EOS logit gets a bias bump so SOME beams finish
+    early while stragglers persist; at least one case must actually ENGAGE the
+    early stop (strictly more trailing unwritten positions than the exhaustive
+    run) or the test is vacuous — on flat random weights every beam's per-token
+    log-prob is ~ -log V, so normalized scores stay borderline forever and the
+    finish-now heuristic correctly never fires."""
+    engaged = 0
+    bos, eos, k = 90, 91, 5
+    for seed in (3, 9, 11):
+        cfg = tiny_cfg()
+        _, params = make_oracle(cfg, seed=seed)
+        # make EOS likely enough that a dominant beam finishes while others wander
+        b_last = params["mlp"]["layers"][-1]["b"]
+        params["mlp"]["layers"][-1]["b"] = b_last.at[eos].add(0.5)
+        img, mask = make_image_batch(2, cfg.image_size, seed=seed)
+        samples = Masked(jnp.asarray(img.numpy()), jnp.asarray(mask.numpy()))
+        for lp in (0.0, 1.0):
+            kw = dict(max_len=48, bos_token=bos, eos_token=eos, beam_size=k,
+                      length_penalty=lp)
+            t_full, s_full = decode.beam_search(params, cfg, samples,
+                                                early_stop=False, **kw)
+            t_es, s_es = decode.beam_search(params, cfg, samples,
+                                            early_stop=True, **kw)
+            t_full, s_full = np.asarray(t_full), np.asarray(s_full)
+            t_es, s_es = np.asarray(t_es), np.asarray(s_es)
+            for bi in range(t_full.shape[0]):
+                for ki in range(k):
+                    row = t_es[bi, ki]
+                    e = np.where(row == eos)[0]
+                    if len(e) == 0:
+                        break  # live tail rows may differ — documented semantics
+                    end = e[0] + 1
+                    np.testing.assert_array_equal(row[:end], t_full[bi, ki, :end])
+                    np.testing.assert_allclose(s_es[bi, ki], s_full[bi, ki],
+                                               rtol=0, atol=1e-6)
+            if int((t_es == 0).sum()) > int((t_full == 0).sum()):
+                engaged += 1
+    assert engaged >= 1, "early stop never engaged on any case — raise max_len/seeds"
 
 
 def test_sequence_scores_greedy_dominance_and_masking():
