@@ -191,5 +191,26 @@ def param_shardings(params: dict, mesh: Mesh) -> Any:
     )
 
 
+def multihost_put(tree: Any, shardings: Any) -> Any:
+    """Place HOST-IDENTICAL values onto a global mesh without cross-host
+    transfers: every process materializes its own addressable shards from its
+    local copy via ``jax.make_array_from_callback``. A plain ``device_put``
+    would try to copy the origin process's buffer to other hosts' devices,
+    which backends without a DCN transfer service (CPU; TPU without the
+    cross-host-transfer flags) reject — the exact failure the true
+    multi-process test caught live (tests/test_multiprocess.py). Only valid
+    when every process holds the same value (deterministic same-seed init,
+    restored checkpoints, replicated eval params)."""
+
+    def put(x, s):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, s, lambda idx, a=arr: a[idx])
+
+    return jax.tree.map(put, tree, shardings)
+
+
 def shard_params(params: dict, mesh: Mesh) -> dict:
-    return jax.device_put(params, param_shardings(params, mesh))
+    shardings = param_shardings(params, mesh)
+    if jax.process_count() > 1:
+        return multihost_put(params, shardings)
+    return jax.device_put(params, shardings)

@@ -71,7 +71,15 @@ def eval_model_sharded(
 
     leaf = jax.tree.leaves(params)[0]
     if not (hasattr(leaf, "sharding") and getattr(leaf.sharding, "mesh", None) == mesh):
-        params = jax.device_put(params, replicated(mesh))  # keep pre-sharded (mp) params
+        # keep pre-sharded (mp) params; multi-host must materialize per-process
+        # instead of device_put (cross-host transfer — see mesh.multihost_put)
+        if jax.process_count() > 1:
+            from retr_tpu.parallel.mesh import multihost_put
+
+            params = multihost_put(
+                params, jax.tree.map(lambda _: replicated(mesh), params))
+        else:
+            params = jax.device_put(params, replicated(mesh))
 
     annotations = defaultdict(list)
     for a in loader.dataset.annot:
