@@ -409,7 +409,15 @@ def eval_model(
     from collections import deque
 
     pending: deque = deque()
-    for host_batch in loader:
+    # host_wait = time the loop BLOCKS on the loader (JPEG decode/crop/resize not
+    # hidden by the prefetch threads) — one of the per-batch phases docs/E2E.json
+    # pins each round (tools/bench_e2e.py --emit-json).
+    it = iter(loader)
+    while True:
+        with timer.phase("host_wait"):
+            host_batch = next(it, None)
+        if host_batch is None:
+            break
         pending.append(dispatch(host_batch))
         if len(pending) >= max(1, pipeline_depth):
             collect(pending.popleft())
@@ -418,5 +426,6 @@ def eval_model(
 
     # the reference's zip(*) transposition truncates to the min ref count (engine.py:181)
     transposed_references = list(map(list, zip(*references)))
-    metrics = nlgeval.compute_metrics(ref_list=transposed_references, hyp_list=hypotheses)
+    with timer.phase("score"):
+        metrics = nlgeval.compute_metrics(ref_list=transposed_references, hyp_list=hypotheses)
     return metrics, ids_hypotheses

@@ -101,6 +101,12 @@ def main():
     ap.add_argument("--reps", type=int, default=1,
                     help="timed epochs; reports the median (the tunnel's "
                     "per-batch round trip varies 2x across minutes)")
+    ap.add_argument("--emit-json", default="",
+                    help="write the per-batch phase breakdown artifact here "
+                    "(docs/E2E.json — VERDICT r4 item 5): host_wait / upload "
+                    "dispatch / decode dispatch / fetch per batch, score time, "
+                    "a null-round-trip transport-weather probe, and a device-"
+                    "only decode estimate")
     args = ap.parse_args()
 
     coco_dir, ref_dir = make_fixture(args.fixture_dir, args.images)
@@ -175,6 +181,93 @@ def main():
         "cider": round(metrics["CIDEr"], 4),
     }
     print(json.dumps(out))
+
+    if args.emit_json:
+        import datetime
+
+        import jax.numpy as jnp
+
+        # transport weather: null round trips (tiny committed array -> host)
+        probe = jax.device_put(jnp.zeros((8,), jnp.int32))
+        np.asarray(probe)
+        rts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            np.asarray(probe)
+            rts.append((time.perf_counter() - t0) * 1e3)
+        rt_ms = float(np.median(rts))
+
+        # device-only decode estimate on one batch shape: dispatch -> full fetch,
+        # minus the null round trip (the token buffer is ~16 KB — transport is
+        # round-trip-bound, not bandwidth-bound)
+        from retr_tpu import decode as decode_mod
+        from retr_tpu.data.dataset import pad_host_batch
+        from retr_tpu.data.pipeline import device_batch
+        from retr_tpu.masking import Masked
+
+        host = next(iter(loader))
+        batch = device_batch(pad_host_batch(host, cfg.batch_size), train=False)
+        samples = Masked(batch.images, batch.image_masks)
+        g = (Masked(batch.global_images, batch.global_masks)
+             if batch.global_images is not None else None)
+        tok_bos = tok.convert_tokens_to_ids(tok.cls_token)
+        tok_eos = tok.convert_tokens_to_ids(tok.sep_token)
+
+        def one_decode():
+            return decode_mod.greedy(
+                params, cfg, samples, global_samples=g, loc_feats=batch.loc_feats,
+                max_len=cfg.max_position_embeddings, bos_token=tok_bos,
+                eos_token=tok_eos, compute_dtype=jax.numpy.dtype(cfg.compute_dtype))
+
+        np.asarray(one_decode())  # warm
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(one_decode())
+            dts.append((time.perf_counter() - t0) * 1e3)
+        device_est_ms = max(float(np.median(dts)) - rt_ms, 0.0)
+
+        ms = lambda name: [round(v * 1e3, 2) for v in timer.samples.get(name, [])]
+        fetch_ms = ms("fetch")
+        art = {
+            "generated": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"),
+            "metric": out["metric"],
+            "captions_per_sec": out["value"],
+            "wall_s": out["wall_s"],
+            "cider": out["cider"],
+            "n_captions": n,
+            "batch": args.batch,
+            "decoder": args.decoder,
+            "dtype": args.dtype,
+            "per_batch_ms": {
+                # host_prep: loader time NOT hidden by prefetch threads
+                "host_wait": ms("host_wait"),
+                # upload: device_batch (host collate + transfer dispatch)
+                "upload_dispatch": ms("input"),
+                # decode: program dispatch only (async — the fetch is the barrier)
+                "decode_dispatch": ms("decode"),
+                # fetch: device compute + transport round trip + queue
+                "fetch": fetch_ms,
+            },
+            "score_ms": round(sum(timer.samples.get("score", [0.0])) * 1e3, 1),
+            "transport_weather": {
+                "null_roundtrip_ms": [round(x, 2) for x in rts],
+                "null_roundtrip_ms_median": round(rt_ms, 2),
+                "device_decode_ms_est": round(device_est_ms, 1),
+                "note": (
+                    f"fetch p50 {np.median(fetch_ms):.0f} ms vs device-only "
+                    f"estimate {device_est_ms:.0f} ms -> transport+queue share "
+                    f"{max(0.0, 1 - device_est_ms / max(np.median(fetch_ms), 1e-9)):.0%} "
+                    "of the blocking fetch; compare null_roundtrip against the "
+                    "~30 ms healthy-window baseline before reading anything "
+                    "into run-to-run deltas (docs/ROADMAP.md tunnel weather)"
+                ),
+            },
+        }
+        with open(args.emit_json, "w") as f:
+            json.dump(art, f, indent=2)
+        print(f"wrote {args.emit_json}")
 
 
 if __name__ == "__main__":

@@ -35,33 +35,44 @@ from bench_e2e import make_fixture  # noqa: E402  (same synthetic JPEG fixture)
 
 def run_load(queue, paths, bboxes, rate: float, n_requests: int, seed: int = 0):
     """Open-loop: submit n_requests at Poisson arrivals of `rate`/s; return
-    (latencies, wall, batch_sizes_seen)."""
+    (latencies_of_accepted, wall, n_rejected). Rejected submits (admission
+    control, predictor.ServingOverloaded) are counted, not retried — the
+    open-loop pace is preserved either way."""
+    from retr_tpu.predictor import ServingOverloaded
+
     rng = np.random.default_rng(seed)
     inter = rng.exponential(1.0 / rate, size=n_requests)
-    lat = [None] * n_requests
-    t_submit = [0.0] * n_requests
+    lat: list = []
+    lat_lock = __import__("threading").Lock()
 
-    def make_cb(i):
+    def make_cb(t_sub):
         def cb(fut):
-            lat[i] = time.monotonic() - t_submit[i]
+            dt = time.monotonic() - t_sub
+            with lat_lock:
+                lat.append(dt)
         return cb
 
     t0 = time.monotonic()
     next_t = t0
     futs = []
+    rejected = 0
     for i in range(n_requests):
         next_t += inter[i]
         delay = next_t - time.monotonic()
         if delay > 0:
             time.sleep(delay)
-        t_submit[i] = time.monotonic()
-        f = queue.submit(paths[i % len(paths)], bboxes[i % len(bboxes)])
-        f.add_done_callback(make_cb(i))
+        t_sub = time.monotonic()
+        try:
+            f = queue.submit(paths[i % len(paths)], bboxes[i % len(bboxes)])
+        except ServingOverloaded:
+            rejected += 1
+            continue
+        f.add_done_callback(make_cb(t_sub))
         futs.append(f)
     for f in futs:
         f.result(timeout=600)
     wall = time.monotonic() - t0
-    return np.asarray(lat, np.float64), wall
+    return np.asarray(lat, np.float64), wall, rejected
 
 
 def run_soak(queue, paths, bboxes, rate: float, duration_s: float,
@@ -70,16 +81,23 @@ def run_soak(queue, paths, bboxes, rate: float, duration_s: float,
     `duration_s`, with a monitor thread sampling queue depth + completion counts.
     After the window, close() is called WITH the backlog still standing and the
     drain is asserted graceful: every accepted future reaches a terminal state.
+    Submits shed by admission control (ServingOverloaded) are counted — under
+    sustained overload the steady state is: bounded queue, bounded p99 for the
+    ACCEPTED requests, everything beyond capacity rejected at the door.
 
     Returns (series, latencies, summary).
     """
     import threading
+
+    from retr_tpu.predictor import ServingOverloaded
 
     rng = np.random.default_rng(seed)
     lats: list = []
     lat_lock = threading.Lock()
     futs = []
     done_count = [0]
+    rejected = [0]
+    offered = [0]
 
     def make_cb(t_sub):
         def cb(fut):
@@ -98,7 +116,9 @@ def run_soak(queue, paths, bboxes, rate: float, duration_s: float,
             series.append({
                 "t_s": round(time.monotonic() - t0, 1),
                 "queue_depth": queue._q.qsize(),
-                "submitted": len(futs),
+                "offered": offered[0],
+                "accepted": len(futs),
+                "rejected": rejected[0],
                 "completed": done_count[0],
             })
 
@@ -114,9 +134,14 @@ def run_soak(queue, paths, bboxes, rate: float, duration_s: float,
         delay = next_t - time.monotonic()
         if delay > 0:
             time.sleep(delay)
-        i = len(futs)
+        i = offered[0]
+        offered[0] += 1
         t_sub = time.monotonic()
-        f = queue.submit(paths[i % len(paths)], bboxes[i % len(bboxes)])
+        try:
+            f = queue.submit(paths[i % len(paths)], bboxes[i % len(bboxes)])
+        except ServingOverloaded:
+            rejected[0] += 1
+            continue
         f.add_done_callback(make_cb(t_sub))
         futs.append(f)
 
@@ -132,13 +157,16 @@ def run_soak(queue, paths, bboxes, rate: float, duration_s: float,
     summary = {
         "offered_rate_rps": rate,
         "duration_s": duration_s,
-        "submitted": len(futs),
+        "offered": offered[0],
+        "accepted": len(futs),
+        "rejected": rejected[0],
         "completed_ok": len(futs) - errors - unresolved,
         "errors": errors,
         "unresolved_futures": unresolved,  # MUST be 0: the drain assertion
         "backlog_at_close": backlog_at_close,
         "drain_s": round(drain_s, 1),
         "achieved_rps_incl_drain": round(len(lats) / (t_close - t0 + drain_s), 2),
+        "admission": queue.stats(),
     }
     assert unresolved == 0, f"{unresolved} futures never resolved after close()"
     return series, np.asarray(lats, np.float64), summary
@@ -224,10 +252,11 @@ def main():
         cells = []
         for r in range(args.ab_rounds):
             for mb, q in queues.items():
-                lat, wall = run_load(q, paths, bboxes, args.soak_rate,
-                                     args.requests, seed=r)
+                lat, wall, rej = run_load(q, paths, bboxes, args.soak_rate,
+                                          args.requests, seed=r)
                 cells.append({"max_batch": mb, "round": r,
-                              "achieved_rps": round(args.requests / wall, 2),
+                              "achieved_rps": round(len(lat) / wall, 2),
+                              "rejected": rej,
                               "p50_latency_s": round(float(np.percentile(lat, 50)), 4),
                               "p99_latency_s": round(float(np.percentile(lat, 99)), 4)})
                 print(json.dumps(cells[-1]), flush=True)
@@ -277,10 +306,11 @@ def main():
 
     results = []
     for rate in args.rates:
-        lat, wall = run_load(queue, paths, bboxes, rate, args.requests)
+        lat, wall, rej = run_load(queue, paths, bboxes, rate, args.requests)
         results.append({
             "offered_rate_rps": rate,
-            "achieved_rps": round(args.requests / wall, 2),
+            "achieved_rps": round(len(lat) / wall, 2),
+            "rejected": rej,
             "p50_latency_s": round(float(np.percentile(lat, 50)), 4),
             "p95_latency_s": round(float(np.percentile(lat, 95)), 4),
             "p99_latency_s": round(float(np.percentile(lat, 99)), 4),
