@@ -337,7 +337,7 @@ def test_fused_stack_step_matches_xla_path():
         got_split, _ = run(cfg_p)
     finally:
         dk.FORCE_INTERPRET = False
-        dk.LAYER_GRID = False
+        dk.LAYER_GRID = True  # module default — don't leak False to later tests
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
     np.testing.assert_allclose(np.asarray(got_split), np.asarray(ref), atol=3e-5)
 

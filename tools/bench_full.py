@@ -141,6 +141,46 @@ def main():
         "loss_finite": bool(np.isfinite(float(loss))),
         "note": "donating step threaded state->state, single loss fetch per round",
     }
+    del s2, state, params_t
+
+    # 12 (extra, r5): LARGE-batch train rows (VERDICT r4 item 4) — batch 256
+    # plain, and batch 320 under cfg.remat (the largest that compiles at all;
+    # the plain 320 step fails in the remote compiler, tools/exp_r5.py
+    # --remat-ab, and remat is the sanctioned escape hatch past it).
+    for b_tr, use_remat in ((256, False), (320, True)):
+        cfg_tr = cfg.replace(remat=use_remat)
+        try:
+            params_tr = jax.tree.map(jnp.copy, params)
+            st = tstate.TrainState(params_tr, tx.init(params_tr), jax.numpy.int32(0))
+            step_tr = tstate.make_train_step(cfg_tr, tx)
+            caps_tr = jnp.asarray(
+                rng.integers(1, cfg.vocab_size, (b_tr, t_cap)), jnp.int32)
+            batch_tr = tstate.Batch(
+                images=jnp.asarray(rng.normal(size=(b_tr, 3, IMAGE, IMAGE)),
+                                   jnp.float32),
+                image_masks=jnp.zeros((b_tr, IMAGE, IMAGE), dtype=bool),
+                caps=caps_tr, cap_masks=caps_tr == 0,
+            )
+            st, loss_tr = step_tr(st, batch_tr, key)
+            np.asarray(loss_tr)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    st, loss_tr = step_tr(st, batch_tr, key)
+                np.asarray(loss_tr)
+                ts.append((time.perf_counter() - t0) / 5)
+            t = float(np.median(ts))
+            results[f"12_train_step_batch{b_tr}" + ("_remat" if use_remat else "")] = {
+                "step_s": t,
+                "samples_per_sec": b_tr / t,
+                "remat": use_remat,
+                "loss_finite": bool(np.isfinite(float(loss_tr))),
+            }
+            del st, params_tr, batch_tr
+        except Exception as e:  # noqa: BLE001 — the ceiling is the finding
+            results[f"12_train_step_batch{b_tr}" + ("_remat" if use_remat else "")] = {
+                "remat": use_remat, "error": f"{type(e).__name__}: {e}"[:200]}
 
     # 7 (extra): batch-128 greedy — eval throughput scales with batch (PERF.md)
     s128 = samples_of(128)

@@ -61,7 +61,7 @@ def _cost(jitted, *args):
             "bytes": float(c.get("bytes accessed", 0.0))}
 
 
-def analytic(batch: int):
+def analytic(batch: int, dec_batches=()):
     # Force CPU AFTER importing jax — the axon plugin overrides JAX_PLATFORMS
     # (docs/ROADMAP.md gotchas).
     import jax
@@ -88,34 +88,41 @@ def analytic(batch: int):
     # -- one decode step: embed + 6 cached decoder layers + MLP head + argmax
     # (eval_shape: build memory/pos without executing the batch-128 backbone on CPU)
     mem_s, mask_s, pos_s = jax.eval_shape(enc, params, samples)
-    memory = jnp.zeros(mem_s.shape, mem_s.dtype)
-    mem_mask = jnp.zeros(mask_s.shape, mask_s.dtype)
     pos = jnp.zeros(pos_s.shape, pos_s.dtype)
-    cache, cross = transformer.init_decode_state(
-        params["transformer"], memory, mem_mask, pos, cfg, MAX_LEN
-    )
-
-    def step_fn(p, cache, cross, tok, step):
-        hs, cache = transformer.decode_step(p["transformer"], cache, cross, tok, step, cfg)
-        logits = caption.mlp_head(p["mlp"], hs.reshape(hs.shape[0], -1))
-        return jnp.argmax(logits, axis=-1), cache
-
-    tok = jnp.full((batch,), 101, jnp.int32)
-    out["decode_step"] = _cost(jax.jit(step_fn), params, cache, cross, tok, jnp.int32(5))
-
-    # decode-step minimal HBM traffic: decoder+head weights + the KV caches
-    # + cross K/V are *read once*; everything else stays in VMEM.
     dsz = cdt.itemsize
     dec_params = {"dec": params["transformer"]["decoder"], "mlp": params["mlp"],
                   "emb": params["transformer"]["embeddings"]}
-    floor = (_tree_bytes(dec_params, dsz)
-             + _tree_bytes(cache, dsz)
-             + _tree_bytes((cross.cross_k, cross.cross_v), dsz))
-    out["decode_step"]["min_bytes_floor"] = floor
+
+    def decode_cost(b):
+        memory = jnp.zeros((b,) + mem_s.shape[1:], mem_s.dtype)
+        mem_mask = jnp.zeros((b,) + mask_s.shape[1:], mask_s.dtype)
+        cache, cross = transformer.init_decode_state(
+            params["transformer"], memory, mem_mask, pos, cfg, MAX_LEN
+        )
+
+        def step_fn(p, cache, cross, tok, step):
+            hs, cache = transformer.decode_step(p["transformer"], cache, cross, tok, step, cfg)
+            logits = caption.mlp_head(p["mlp"], hs.reshape(hs.shape[0], -1))
+            return jnp.argmax(logits, axis=-1), cache
+
+        tok = jnp.full((b,), 101, jnp.int32)
+        c = _cost(jax.jit(step_fn), params, cache, cross, tok, jnp.int32(5))
+        # decode-step minimal HBM traffic: decoder+head weights + the KV caches
+        # + cross K/V are *read once*; everything else stays in VMEM.
+        c["min_bytes_floor"] = (_tree_bytes(dec_params, dsz)
+                                + _tree_bytes(cache, dsz)
+                                + _tree_bytes((cross.cross_k, cross.cross_v), dsz))
+        return c
+
+    out["decode_step"] = decode_cost(batch)
     out["decode_step"]["note"] = (
         "min_bytes_floor = decoder+embed+head weights + self KV caches + cross K/V, "
         "each read once per step (activations assumed VMEM-resident)"
     )
+    # per-batch decode floors (VERDICT r4 item 1): the weights term is batch-
+    # invariant; caches + cross K/V scale linearly, so SoL %s reveal where the
+    # step transitions from launch/occupancy-bound to truly bandwidth-bound.
+    out["decode_per_batch"] = {str(b): decode_cost(b) for b in dec_batches}
 
     # -- train step (fwd+bwd+AdamW) at the same batch
     tcfg = flagship(use_pallas=False)
@@ -136,7 +143,72 @@ def analytic(batch: int):
     print(json.dumps(out))
 
 
-def measure(batch: int, reps: int, rounds: int):
+def measure_decode_steps(dec_batches, reps: int, rounds: int,
+                         allow_layer_grid: bool = True, use_pallas: bool = True):
+    """Per-batch decode-step device time (VERDICT r4 item 1): the REAL loop body
+    — decode_step (production kernel path) + MLP head + argmax — chained
+    (cache, tok) -> (cache', tok') with thread=True, so each iteration's argmax
+    feeds the next embed and the carry aliases the caches in place, exactly like
+    the production lax.while_loop. Step index fixed mid-buffer (cache blocks are
+    full T_max, so per-step cost is step-independent). Returns {batch: seconds}."""
+    if not dec_batches:
+        return {}
+    import jax
+    import jax.numpy as jnp
+
+    from retr_tpu import decode as decode_mod
+    from retr_tpu.masking import Masked
+    from retr_tpu.models import caption, transformer
+    from retr_tpu.utils.timing import time_chained
+
+    cfg = flagship(use_pallas=use_pallas)
+    params, _ = caption.build_model(cfg, jax.random.key(0))
+    cdt = jnp.dtype(cfg.compute_dtype)
+    # memory shape from the real encoder (shape-only), values random
+    mem_s, mask_s, pos_s = jax.eval_shape(
+        jax.jit(lambda p, s: caption.encode(p, cfg, s, compute_dtype=cdt)),
+        params,
+        Masked(jnp.zeros((8, 3, IMAGE, IMAGE), jnp.float32),
+               jnp.zeros((8, IMAGE, IMAGE), bool)),
+    )
+    s_len = mem_s.shape[1]
+    pos = jax.random.normal(jax.random.key(1), (s_len, cfg.hidden_dim), jnp.float32)
+    params_c, _, pos_c = decode_mod._cast_for_decode(params, jnp.zeros((), jnp.float32), pos, cdt)
+
+    out = {}
+    for b in dec_batches:
+        memory = jax.random.normal(jax.random.key(2), (b, s_len, cfg.hidden_dim)).astype(cdt)
+        mem_mask = jnp.zeros((b, s_len), bool)
+        cache, cross = transformer.init_decode_state(
+            params_c["transformer"], memory, mem_mask, pos_c, cfg, MAX_LEN,
+            allow_layer_grid=allow_layer_grid,
+        )
+
+        # cross rides the loop carry (unchanged pass-through) instead of the
+        # closure: closure-captured concrete arrays are baked into the program
+        # as constants, and at b>=256 the ~0.6-1.2 GB of cross K/V literals
+        # overflow the remote compile service's request limit (HTTP 413)
+        def body(ct):
+            c, tok, cr = ct
+            hs, c2 = transformer.decode_step(
+                params_c["transformer"], c, cr, tok, jnp.int32(MAX_LEN // 2), cfg)
+            logits = caption.mlp_head(params_c["mlp"], hs)
+            return c2, jnp.argmax(logits, axis=-1).astype(tok.dtype), cr
+
+        tok0 = jnp.full((b,), 101, jnp.int32)
+        # chain depth scaled so k * step >= ~100 ms: the differential of two
+        # ~100 ms dispatches carries ~1 ms of transport noise, so sub-ms steps
+        # need hundreds of chained iterations (k=12 at b=32 measured NEGATIVE)
+        k = max(32, min(512, (4096 * 4) // b))
+        t = time_chained(body, (cache, tok0, cross), k=k, rounds=rounds,
+                         thread=True)
+        print(f"[roofline {time.strftime('%H:%M:%S')}] decode step b={b}: "
+              f"{t*1e3:.3f} ms", file=sys.stderr, flush=True)
+        out[str(b)] = t
+    return out
+
+
+def measure(batch: int, reps: int, rounds: int, dec_batches=()):
     import jax
     import jax.numpy as jnp
 
@@ -212,6 +284,7 @@ def measure(batch: int, reps: int, rounds: int):
         "decode_steps": MAX_LEN - 1,
         "decode_step_s": (t_full - t_enc) / (MAX_LEN - 1),
         "train_step_s": t_train,
+        "decode_per_batch_s": measure_decode_steps(dec_batches, reps, rounds),
     }
     with open(MEASURED_PATH, "w") as f:
         json.dump(out, f, indent=2)
@@ -280,6 +353,53 @@ def report(peak_flops: float, peak_bw: float):
             f"{100*r['sol_fraction']:.0f}% | {r['bound']} | {r['gflops']:.1f} | {mb} |"
         )
     pct = {r["path"].split(" ")[0]: f"{100 * r['sol_fraction']:.0f}%" for r in rows}
+
+    # per-batch decode SoL table (VERDICT r4 item 1)
+    per_a = a.get("decode_per_batch", {})
+    per_m = m.get("decode_per_batch_s", {})
+    batch_rows = []
+    for bs in sorted(per_m, key=int):
+        if bs not in per_a:
+            continue
+        t_meas = per_m[bs]
+        floor = per_a[bs]["min_bytes_floor"]
+        fl = per_a[bs]["flops"]
+        t_bw = floor / peak_bw
+        t_fl = fl / peak_flops
+        sol = max(t_bw, t_fl)
+        batch_rows.append({
+            "batch": int(bs), "measured_ms": t_meas * 1e3, "sol_ms": sol * 1e3,
+            "sol_fraction": sol / t_meas, "hbm_mb": floor / 1e6,
+            "achieved_gbps": floor / t_meas / 1e9,
+            "bound": "bandwidth" if t_bw >= t_fl else "compute",
+        })
+    if batch_rows:
+        lines += [
+            "",
+            "## Decode step vs speed-of-light, per batch (r5)",
+            "",
+            "Direct chained-step protocol (tools/roofline.py measure_decode_steps:",
+            "the production decode_step + head + argmax threaded (cache, tok) ->",
+            "(cache', tok') in one fori_loop — each argmax feeds the next embed, the",
+            "carry aliases caches in place). Byte floor per batch = batch-invariant",
+            "weights + linearly-scaling KV caches and cross K/V.",
+            "",
+            "| batch | measured | SoL | % of SoL | floor HBM MB | achieved GB/s (floor bytes / time) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in batch_rows:
+            lines.append(
+                f"| {r['batch']} | {r['measured_ms']:.3f} ms | {r['sol_ms']:.3f} ms | "
+                f"{100*r['sol_fraction']:.0f}% | {r['hbm_mb']:.0f} | {r['achieved_gbps']:.0f} |"
+            )
+        lines += [
+            "",
+            "Reading: the weights term (~46 MB at bf16) dominates small batches, so",
+            "low SoL %s there are launch/occupancy effects on tiny working sets; as",
+            "batch grows the floor becomes cache-stream-dominated and the achieved",
+            "GB/s column shows how close the step runs to the HBM ceiling at the",
+            "batches the headline is quoted from.",
+        ]
     lf = None
     lf_path = os.path.join(REPO, "docs", "LAUNCH_FLOOR.json")
     if os.path.exists(lf_path):
@@ -399,15 +519,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["analytic", "measure", "report"], required=True)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batches", type=int, nargs="*", default=[32, 128, 256, 512],
+                    help="per-batch decode-step SoL table (VERDICT r4 item 1)")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--peak-flops", type=float, default=197e12)
     ap.add_argument("--peak-bw", type=float, default=819e9)
     args = ap.parse_args()
     if args.mode == "analytic":
-        analytic(args.batch)
+        analytic(args.batch, dec_batches=args.batches)
     elif args.mode == "measure":
-        measure(args.batch, args.reps, args.rounds)
+        measure(args.batch, args.reps, args.rounds, dec_batches=args.batches)
     else:
         report(args.peak_flops, args.peak_bw)
 
