@@ -70,9 +70,17 @@ def _kernel_row_padding(cfg: Config, b: int) -> int:
     The padded rows carry zeroed memory with an all-valid key mask (an all-masked
     row would softmax over -inf -> NaN), start 'finished' so the reference's
     all-finished write/stop semantics over the REAL rows are unchanged, and are
-    sliced off before returning. Without this, batch 100 decoded on the 2x-slower
-    XLA fallback purely because of a divisibility rule (VERDICT r3 item 2)."""
-    return (-b) % 8 if cfg.use_pallas_decode else 0
+    sliced off before returning. Without this, batch 12 decoded on the XLA path
+    purely because of a divisibility rule (VERDICT r3 item 2). Padding only
+    happens when the padded batch stays within the kernels' measured winning
+    range (dk.MAX_KERNEL_BATCH): past it the XLA path is the FASTER one
+    (docs/PERF.md r5), so larger batches ride it unpadded by design."""
+    if not cfg.use_pallas_decode:
+        return 0
+    from retr_tpu.ops import decoder_kernels as dk
+
+    pad = (-b) % 8
+    return pad if b + pad <= dk.MAX_KERNEL_BATCH else 0
 
 
 def _pad_rows(memory: jax.Array, mem_mask: jax.Array, pad: int):

@@ -334,10 +334,16 @@ def forward(
 
 def _pallas_decode_eligible(cfg: Config, batch: int) -> bool:
     """Fused decode kernels need a sublane-aligned batch (the kernels block the
-    batch in multiples of 8; Mosaic also rejects B=1 reductions). Other batch sizes
-    fall back to the XLA path (which is the parity reference anyway) — and the
-    decode drivers pad any batch up to eligibility (decode._kernel_row_padding)."""
-    return cfg.use_pallas_decode and batch >= 8 and batch % 8 == 0
+    batch in multiples of 8; Mosaic also rejects B=1 reductions) AND a batch
+    within their measured winning range (dk.MAX_KERNEL_BATCH — past one batch
+    block their full-cache write-back loses ~2x to XLA's in-place one-lane
+    update, docs/PERF.md r5). Everything else rides the XLA path (which is the
+    parity reference anyway); batches just below eligibility are padded up to
+    it by the decode drivers (decode._kernel_row_padding)."""
+    from retr_tpu.ops import decoder_kernels as dk
+
+    return (cfg.use_pallas_decode and batch >= 8 and batch % 8 == 0
+            and batch <= dk.MAX_KERNEL_BATCH)
 
 
 def _pallas_runtime_active() -> bool:

@@ -900,6 +900,18 @@ def fused_layer_step(
 # Applies to single-batch-block decodes (b <= 32): batch-32 eval, serving, prefix.
 LAYER_GRID = True
 
+# Batch ceiling for ALL fused decode kernels (round 5, tools/exp_r5.py
+# --layer-grid-batch-ab, chained-step device protocol, true-bf16 storage).
+# Past one batch block the kernels' full-cache write-back pays ~2x the XLA
+# path's in-place one-lane dynamic-update-slice, and XLA wins by growing
+# margins: 0.39 vs 0.92 ms/step at b=128, 1.54 vs 3.56 ms at b=512. A
+# staging-row kernel variant (rows out, caller merges) measured WORSE
+# (2.84 ms at b=128: XLA copies the cache around the custom call). Above this
+# ceiling decode dispatch (models/transformer._pallas_decode_eligible) rides
+# the pure-XLA step — which is also the parity reference path. Per-batch
+# numbers: docs/ROOFLINE.md (SoL table) and docs/PERF.md r5.
+MAX_KERNEL_BATCH = 32
+
 
 def stack_layer_params(layer_params) -> Params:
     """Stack a list of per-layer param dicts leaf-wise on a new leading axis.

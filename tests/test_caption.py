@@ -504,3 +504,42 @@ def test_greedy_padded_rows_epilogue_any_batch():
     outs = np.asarray(decode.sample(
         params, cfg_pk, samples, jax.random.key(0), temperature=0.0, **common))
     np.testing.assert_array_equal(outs, ref)  # temperature=0 == greedy
+
+
+def test_decode_kernel_dispatch_batch_ceiling():
+    """Round-5 dispatch policy: fused decode kernels run ONLY within their
+    measured winning range (batch <= dk.MAX_KERNEL_BATCH); larger batches ride
+    the pure-XLA step, which beats the kernels past one batch block (0.39 vs
+    0.92 ms/step at b=128, 1.54 vs 3.56 at b=512 — docs/PERF.md r5). Padding
+    only rounds a batch UP into the winning range, never into the losing one."""
+    from retr_tpu.models import transformer
+    from retr_tpu.ops import decoder_kernels as dk
+
+    cfg = tiny_cfg().replace(use_pallas_decode=True)
+    assert dk.MAX_KERNEL_BATCH == 32  # measured crossover; update with evidence
+
+    elig = lambda b: transformer._pallas_decode_eligible(cfg, b)
+    assert elig(8) and elig(16) and elig(32)
+    assert not elig(5)        # not sublane-aligned (padded up by the driver)
+    assert not elig(40) and not elig(64) and not elig(128) and not elig(512)
+
+    pad = lambda b: decode._kernel_row_padding(cfg, b)
+    assert pad(5) == 3 and pad(30) == 2 and pad(32) == 0
+    # would pad past the ceiling -> ride XLA unpadded instead
+    assert pad(33) == 0 and pad(100) == 0 and pad(512) == 0
+
+    # layout decision agrees with dispatch: b=64 cache is XLA-layout [B,H,T,D]
+    dk.FORCE_INTERPRET = True
+    try:
+        b, s = 64, 6
+        memory = jnp.zeros((b, s, cfg.hidden_dim))
+        mask = jnp.zeros((b, s), bool)
+        pos = jnp.zeros((s, cfg.hidden_dim))
+        _, params = make_oracle(cfg, seed=3)
+        cache, _ = transformer.init_decode_state(
+            params["transformer"], memory, mask, pos, cfg,
+            cfg.max_position_embeddings)
+        assert cache.self_k[0].shape == (
+            b, cfg.nheads, cfg.max_position_embeddings, cfg.head_dim)
+    finally:
+        dk.FORCE_INTERPRET = False

@@ -215,23 +215,15 @@ def layer_grid_batch_ab(args):
             xla = measure_decode_steps([b], args.reps, args.rounds,
                                        use_pallas=False)[str(b)]
             row["xla_path_ms"] = round(xla * 1e3, 3)
-        for bb in args.blocks:
-            if b % bb or bb > b:
-                continue
-            dk.STACK_BLOCK = bb if bb != 32 else 0
-            try:
-                t = measure_decode_steps([b], args.reps, args.rounds,
-                                         allow_layer_grid=True)[str(b)]
-                row[f"layer_grid_bb{bb}_ms"] = round(t * 1e3, 3)
-            except Exception as exc:  # noqa: BLE001 — VMEM overflow is a finding
-                row[f"layer_grid_bb{bb}_ms"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:120]}"
-            finally:
-                dk.STACK_BLOCK = 0
-        grid_times = [v for k, v in row.items()
-                      if k.startswith("layer_grid") and isinstance(v, float)]
-        if grid_times:
-            best = min(grid_times)
-            row["best_speedup_vs_split"] = round(split * 1e3 / best, 3)
+        # LAYER_GRID arm only where the single-launch kernel can run (one batch
+        # block, b <= 32; a batch-blocked grid variant was prototyped as a
+        # staging-row kernel and measured WORSE — 2.84 ms at b=128, XLA copies
+        # the cache around the custom call — so it was not kept)
+        if b <= 32 and dk.LAYER_GRID:
+            t = measure_decode_steps([b], args.reps, args.rounds,
+                                     allow_layer_grid=True)[str(b)]
+            row["layer_grid_ms"] = round(t * 1e3, 3)
+            row["grid_speedup_vs_split"] = round(split / t, 3)
         out[f"batch_{b}"] = row
         print(json.dumps({f"batch_{b}": row}), flush=True)
     print(json.dumps({"layer_grid_batch_ab": out}, indent=2))
@@ -243,8 +235,6 @@ def main():
     ap.add_argument("--beam-es-ab", action="store_true")
     ap.add_argument("--remat-ab", action="store_true")
     ap.add_argument("--layer-grid-batch-ab", action="store_true")
-    ap.add_argument("--blocks", type=int, nargs="+", default=[32, 64],
-                    help="layer-grid batch-block sizes to sweep")
     ap.add_argument("--xla-arm", action="store_true",
                     help="also measure the pure-XLA decode step per batch")
     ap.add_argument("--ckpt", default="/tmp/retr_ab_ckpt/Concat_refcoco_checkpoint_0")
